@@ -1,0 +1,30 @@
+"""Test environment: force an 8-device virtual CPU mesh.
+
+All unit tests run on CPU so they are deterministic and don't contend for
+the single real TPU chip; sharding tests get 8 virtual devices.
+
+The container's sitecustomize pre-imports jax and registers the axon TPU
+backend before any conftest runs, so plain env vars are too late — we
+flip the platform through jax.config and clear any initialized backends.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+try:  # drop any backend the sitecustomize already initialized
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
+
+assert jax.devices()[0].platform == "cpu", (
+    "unit tests must run on the virtual CPU mesh, got %s" % jax.devices())

@@ -1,0 +1,217 @@
+"""FAST-10 corner detection, Shi-Tomasi scoring, 3x3 non-max suppression,
+and grid-uniform keypoint selection — fully batched, branchless XLA.
+
+Replaces three reference components at once:
+  * Thirdparty/fast (SVO's SSE2 FAST-10 + score + nonmax_3x3): the 16-pixel
+    ring test becomes 16 shifted image copies and the "10 contiguous" arc
+    test a log-depth AND-roll reduction — every pixel tested in parallel on
+    the VPU instead of serial SSE lanes.
+  * ORBextractor's per-cell FAST + quadtree DistributeOctTree
+    (/root/reference/src/ORBextractor.cc:533-804): the quadtree's goal is
+    spatially uniform keypoints; the TPU-shaped equivalent is top-k per
+    fixed grid cell, which has identical uniformity semantics with static
+    shapes.
+  * ShiTomasiScore (/root/reference/src/ORBextractor.cc:1152-1187): min
+    eigenvalue of the 2x2 gradient second-moment matrix over a 4-radius
+    window, computed densely with box-filter convolutions.
+
+All outputs are fixed-capacity (N keypoints + validity mask) so downstream
+stages compile once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3 — the 16 ring offsets (dv, du), clockwise
+# from 12 o'clock. Same circle as any FAST implementation (it is the
+# definition of the detector, not an implementation detail).
+RING_OFFSETS = np.array(
+    [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)],
+    dtype=np.int32,
+)
+
+ARC_LENGTH = 10  # FAST-10
+
+
+def _shifted(img, dv: int, du: int):
+    """img shifted so output[y,x] = img[y+dv, x+du], zero-padded."""
+    H, W = img.shape
+    padded = jnp.pad(img, 3)
+    return jax.lax.dynamic_slice(padded, (3 + dv, 3 + du), (H, W))
+
+
+def fast_corner_mask(img, threshold: float):
+    """Boolean corner map [H, W] for FAST-10 at the given threshold.
+
+    The contiguous-arc test: with ring flags b[0..15] (circular), a corner
+    needs >= 10 consecutive set flags. r2 = b & rot(b,1); r4 = r2 & rot(r2,2);
+    r8 = r4 & rot(r4,4); r10 = r8 & rot(r2,8); corner = any(r10).
+    """
+    ring = jnp.stack([_shifted(img, int(dv), int(du)) for dv, du in RING_OFFSETS])
+    diff = ring - img[None]
+
+    def has_arc(flags):  # flags: [16, H, W] bool
+        r2 = flags & jnp.roll(flags, -1, axis=0)
+        r4 = r2 & jnp.roll(r2, -2, axis=0)
+        r8 = r4 & jnp.roll(r4, -4, axis=0)
+        r10 = r8 & jnp.roll(r2, -8, axis=0)
+        return jnp.any(r10, axis=0)
+
+    corner = has_arc(diff > threshold) | has_arc(diff < -threshold)
+    # kill the 3px frame where the ring would wrap
+    H, W = img.shape
+    vy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    vx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = (vy >= 3) & (vy < H - 3) & (vx >= 3) & (vx < W - 3)
+    return corner & inside
+
+
+def fast_score(img, threshold: float):
+    """SVO-style corner score: sum over the ring of |diff| beyond threshold,
+    max of the bright and dark sums (Thirdparty/fast fast_10_score
+    semantics up to the constant offset)."""
+    ring = jnp.stack([_shifted(img, int(dv), int(du)) for dv, du in RING_OFFSETS])
+    diff = ring - img[None]
+    bright = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+    dark = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+    return jnp.maximum(bright, dark)
+
+
+def _box_filter(x, radius: int):
+    k = 2 * radius + 1
+    ones = jnp.ones((1, 1, k, 1), dtype=x.dtype)
+    y = x[None, None]
+    y = jnp.pad(y, ((0, 0), (0, 0), (radius, radius), (radius, radius)))
+    y = jax.lax.conv_general_dilated(y, ones, (1, 1), "VALID")
+    y = jax.lax.conv_general_dilated(y, ones.transpose(0, 1, 3, 2), (1, 1), "VALID")
+    return y[0, 0]
+
+
+def shi_tomasi_score(img, radius: int = 4):
+    """Dense min-eigenvalue corner response, normalized by window area like
+    the reference (/root/reference/src/ORBextractor.cc:1152-1187)."""
+    dx = 0.5 * (_shifted(img, 0, 1) - _shifted(img, 0, -1))
+    dy = 0.5 * (_shifted(img, 1, 0) - _shifted(img, -1, 0))
+    dxx = _box_filter(dx * dx, radius)
+    dyy = _box_filter(dy * dy, radius)
+    dxy = _box_filter(dx * dy, radius)
+    area = float((2 * radius + 1) ** 2) * 2.0
+    dxx, dyy, dxy = dxx / area, dyy / area, dxy / area
+    tr = dxx + dyy
+    det_term = jnp.sqrt(jnp.maximum((dxx - dyy) ** 2 + 4.0 * dxy * dxy, 0.0))
+    return 0.5 * (tr - det_term)
+
+
+def nonmax_3x3(score):
+    """Keep pixels that are the strict max of their 3x3 neighborhood
+    (Thirdparty/fast nonmax_3x3.cpp equivalent, dense max-pool compare)."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return score >= m
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set for one pyramid level (or merged levels).
+
+    uv:    [N, 2] float32 (u=x, v=y) in level-0 coordinates
+    score: [N]    float32 response
+    level: [N]    int32 pyramid level
+    angle: [N]    float32 orientation (radians); 0 until computed
+    mask:  [N]    bool validity
+    """
+    uv: jnp.ndarray
+    score: jnp.ndarray
+    level: jnp.ndarray
+    angle: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self):
+        return self.uv.shape[0]
+
+
+def select_grid_topk(score, valid, cell: int, per_cell: int, border: int = 16):
+    """Uniform keypoint selection: top `per_cell` responses per cell x cell
+    block. Returns (uv [M,2] int32, score [M], mask [M]) with
+    M = n_cells * per_cell — static. The TPU-shaped DistributeOctTree.
+    """
+    H, W = score.shape
+    vy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    vx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_border = (vy >= border) & (vy < H - border) & (vx >= border) & (vx < W - border)
+    s = jnp.where(valid & in_border, score, -jnp.inf)
+
+    ncy, ncx = H // cell, W // cell
+    sc = s[: ncy * cell, : ncx * cell]
+    sc = sc.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+    top_s, top_i = jax.lax.top_k(sc, per_cell)  # [ncells, per_cell]
+
+    cell_ids = jnp.arange(ncy * ncx, dtype=jnp.int32)
+    cy = (cell_ids // ncx)[:, None]
+    cx = (cell_ids % ncx)[:, None]
+    py = top_i // cell
+    px = top_i % cell
+    u = (cx * cell + px).astype(jnp.float32)
+    v = (cy * cell + py).astype(jnp.float32)
+
+    uv = jnp.stack([u.reshape(-1), v.reshape(-1)], axis=-1)
+    sflat = top_s.reshape(-1)
+    mask = jnp.isfinite(sflat) & (sflat > 0)
+    return uv, jnp.where(mask, sflat, 0.0), mask
+
+
+def detect_level(img, threshold: float, cell: int, per_cell: int,
+                 border: int = 16, low_threshold: float | None = None):
+    """Full single-level detection: FAST mask -> Shi-Tomasi score -> nonmax ->
+    grid top-k. If the high threshold yields nothing in a cell, the low
+    threshold map fills in (mirrors iniThFAST/minThFAST retry,
+    /root/reference/src/ORBextractor.cc:725-804) — done in one pass by
+    scoring low-threshold corners with a large negative offset so high-
+    threshold corners always win the top-k."""
+    corners_hi = fast_corner_mask(img, threshold)
+    if low_threshold is not None and low_threshold < threshold:
+        corners_lo = fast_corner_mask(img, low_threshold)
+    else:
+        corners_lo = corners_hi
+    score = shi_tomasi_score(img)
+    keep = nonmax_3x3(jnp.where(corners_lo, score, -jnp.inf))
+    # bias: high-threshold corners get +1e4 so they dominate cell ranking
+    biased = jnp.where(corners_hi, score + 1e4, score)
+    uv, s, mask = select_grid_topk(biased, corners_lo & keep, cell, per_cell, border)
+    s = jnp.where(s > 1e4 * 0.5, s - 1e4, s)  # undo bias for reported score
+    return uv, s, mask
+
+
+def detect_pyramid(pyr: Tuple[jnp.ndarray, ...], scales: np.ndarray,
+                   threshold: float, low_threshold: float,
+                   n_features: int, cell: int = 32,
+                   per_cell: int = 4, border: int = 16) -> Keypoints:
+    """Detect on every pyramid level, map to level-0 coords, keep the global
+    top `n_features` by score. Static output capacity = n_features."""
+    all_uv, all_s, all_lvl, all_m = [], [], [], []
+    for lvl, img in enumerate(pyr):
+        uv, s, m = detect_level(img, threshold, cell, per_cell, border,
+                                low_threshold)
+        all_uv.append(uv * float(scales[lvl]))
+        all_s.append(s)
+        all_lvl.append(jnp.full(s.shape, lvl, dtype=jnp.int32))
+        all_m.append(m)
+    uv = jnp.concatenate(all_uv)
+    s = jnp.concatenate(all_s)
+    lvl = jnp.concatenate(all_lvl)
+    m = jnp.concatenate(all_m)
+
+    ranked = jnp.where(m, s, -jnp.inf)
+    top_s, idx = jax.lax.top_k(ranked, n_features)
+    keep_mask = jnp.isfinite(top_s)
+    return Keypoints(
+        uv=uv[idx], score=jnp.where(keep_mask, s[idx], 0.0),
+        level=lvl[idx], angle=jnp.zeros(n_features, jnp.float32),
+        mask=m[idx] & keep_mask)
