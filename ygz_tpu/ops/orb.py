@@ -99,8 +99,12 @@ def compute_orientations(img, uv, mask):
     ui = jnp.round(uv[:, 0]).astype(jnp.int32)
     vi = jnp.round(uv[:, 1]).astype(jnp.int32)
     # [N, 31, 31] index grids -> flat gather
-    vg = (vi[:, None, None] + offs[None, :, None]).reshape(uv.shape[0], -1)
-    ug = (ui[:, None, None] + offs[None, None, :]).reshape(uv.shape[0], -1)
+    N = uv.shape[0]
+    side = 2 * r + 1
+    vg = jnp.broadcast_to(vi[:, None, None] + offs[None, :, None],
+                          (N, side, side)).reshape(N, -1)
+    ug = jnp.broadcast_to(ui[:, None, None] + offs[None, None, :],
+                          (N, side, side)).reshape(N, -1)
     patch = _gather(img, vg, ug) * disc[None]  # [N, 961]
     m10 = jnp.sum(patch * xs_w[None], axis=1)
     m01 = jnp.sum(patch * ys_w[None], axis=1)
