@@ -1,0 +1,332 @@
+"""Bundle adjustment as batched linear algebra: one engine replacing the
+reference's entire g2o stack (/root/reference/src/Optimizer.cc, 2597 LoC +
+Thirdparty/g2o ~20k LoC).
+
+Design: the optimization graph is not a pointer graph but three flat
+arrays — keyframe poses {q[K,4], t[K,3]}, map points [M,3], and
+observations (obs_kf[O], obs_mp[O], obs_uv[O,2|3], obs_mask[O]).
+Per-observation residuals and Jacobian blocks are computed in one fused
+pass; normal-equation blocks accumulate via segment_sum; the point block
+is eliminated with a batched 3x3 Schur complement; the reduced camera
+system solves dense (fine up to a few hundred KFs — local BA windows are
+~10-30, and even EuRoC-scale global BA is ~200x6). Everything runs under
+jit with static capacities + masks, so the same compiled program serves
+every invocation.
+
+Parity targets:
+  * PoseOptimization 4 rounds x 10 iters with chi2 re-classification
+    (/root/reference/src/Optimizer.cc:1656-1842)
+  * LocalBundleAdjustment two-stage 5+10 iters with outlier erase
+    (:1844-2155)
+  * BundleAdjustment / GlobalBundleAdjustemnt (:1478-1654)
+Monocular chi2 gate 5.991, stereo 7.815, Huber deltas sqrt of those.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ygz_tpu.core import lie
+from ygz_tpu.core.robust import CHI2_2DOF, CHI2_3DOF, huber_weight
+
+HUBER_MONO = CHI2_2DOF ** 0.5
+HUBER_STEREO = CHI2_3DOF ** 0.5
+
+
+class Observations(NamedTuple):
+    """Flat observation table (static capacity O).
+
+    kf:        [O] int32 keyframe index
+    mp:        [O] int32 map point index
+    uv:        [O, 2] observed pixel (level-0, undistorted)
+    ur:        [O] right-image u for stereo obs; < 0 means mono
+    inv_sigma2:[O] per-obs information scale (1/1.2^(2*level))
+    mask:      [O] bool validity
+    """
+    kf: jnp.ndarray
+    mp: jnp.ndarray
+    uv: jnp.ndarray
+    ur: jnp.ndarray
+    inv_sigma2: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def reproj_residuals(kf_q, kf_t, mp, obs: Observations, fx, fy, cx, cy, bf):
+    """Per-observation residuals + Jacobians in one fused pass.
+
+    Returns r [O,3] (3rd row zero for mono), Jc [O,3,6], Jp [O,3,3],
+    chi2 [O], valid [O]. Stereo rows use the (u, v, u_r) model of the
+    reference's EdgeStereoSE3ProjectXYZ.
+    """
+    q = kf_q[obs.kf]
+    t = kf_t[obs.kf]
+    X = mp[obs.mp]
+    pc = lie.quat_rotate(q, X) + t
+    z = pc[..., 2]
+    valid = obs.mask & (z > 1e-3)
+    zs = jnp.maximum(z, 1e-3)
+    u = fx * pc[..., 0] / zs + cx
+    v = fy * pc[..., 1] / zs + cy
+    ur = u - bf / zs
+
+    is_stereo = obs.ur >= 0
+    r = jnp.stack([u - obs.uv[..., 0],
+                   v - obs.uv[..., 1],
+                   jnp.where(is_stereo, ur - obs.ur, 0.0)], axis=-1)
+
+    zi = 1.0 / zs
+    zi2 = zi * zi
+    zero = jnp.zeros_like(u)
+    # d(u,v,ur)/d(pc)
+    row_u = jnp.stack([fx * zi, zero, -fx * pc[..., 0] * zi2], axis=-1)
+    row_v = jnp.stack([zero, fy * zi, -fy * pc[..., 1] * zi2], axis=-1)
+    row_r = row_u + jnp.stack([zero, zero, bf * zi2], axis=-1)
+    row_r = jnp.where(is_stereo[..., None], row_r, 0.0)
+    duv_dpc = jnp.stack([row_u, row_v, row_r], axis=-2)  # [O, 3, 3]
+
+    dpc_dxi = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3)),
+        -lie.hat(pc)], axis=-1)                          # [O, 3, 6]
+    Jc = duv_dpc @ dpc_dxi                               # [O, 3, 6]
+    R = lie.quat_to_matrix(q)                            # [O, 3, 3]
+    Jp = duv_dpc @ R                                     # [O, 3, 3]
+
+    chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+    return r, Jc, Jp, chi2, valid
+
+
+def _irls_weights(r, chi2, inv_sigma2, is_stereo, valid, robust=True):
+    """Scalar IRLS weight per observation: information x Huber factor."""
+    if robust:
+        delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+        rw = huber_weight(jnp.sqrt(jnp.maximum(chi2, 1e-12)), delta)
+    else:
+        rw = 1.0
+    return jnp.where(valid, inv_sigma2 * rw, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# pose-only optimization (tracking)
+# ---------------------------------------------------------------------------
+
+def pose_optimization(T0, pts_w, uv, ur, inv_sigma2, mask,
+                      fx, fy, cx, cy, bf,
+                      rounds: int = 4, iters_per_round: int = 10):
+    """Motion-only BA for one frame: optimize T_cw against fixed 3D points.
+
+    Replicates the reference's 4x10 schedule with per-round chi2
+    re-classification of outliers (the final round drops the robust
+    kernel, as g2o does when `setRobustKernel(0)` fires after round 2 —
+    reference /root/reference/src/Optimizer.cc:1770-1834).
+
+    Returns (T, inlier_mask, n_inliers).
+    """
+    O = pts_w.shape[0]
+    kfq0 = T0["q"][None]
+    kft0 = T0["t"][None]
+    obs = Observations(
+        kf=jnp.zeros((O,), jnp.int32), mp=jnp.arange(O, dtype=jnp.int32),
+        uv=uv, ur=ur, inv_sigma2=inv_sigma2, mask=mask)
+    is_stereo = ur >= 0
+    chi2_th = jnp.where(is_stereo, CHI2_3DOF, CHI2_2DOF)
+
+    def one_round(rnd, carry):
+        T, inlier = carry
+        robust_round = rnd < 2
+
+        def gn(i, Tc):
+            r, Jc, _, chi2, valid = reproj_residuals(
+                Tc["q"][None], Tc["t"][None], pts_w, obs, fx, fy, cx, cy, bf)
+            valid = valid & inlier
+            w = jnp.where(
+                robust_round,
+                _irls_weights(r, chi2, inv_sigma2, is_stereo, valid, True),
+                _irls_weights(r, chi2, inv_sigma2, is_stereo, valid, False))
+            H = jnp.einsum("oad,oae,o->de", Jc, Jc, w)
+            b = -jnp.einsum("oad,oa,o->d", Jc, r, w)
+            dx = jnp.linalg.solve(H + 1e-5 * jnp.eye(6), b)
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            return lie.se3_retract(Tc, dx)
+
+        T = jax.lax.fori_loop(0, iters_per_round, gn, T)
+        # re-classify: outliers may come back if their chi2 drops
+        _, _, _, chi2, valid = reproj_residuals(
+            T["q"][None], T["t"][None], pts_w, obs, fx, fy, cx, cy, bf)
+        inlier = mask & valid & (chi2 <= chi2_th)
+        return T, inlier
+
+    T, inlier = jax.lax.fori_loop(0, rounds, one_round, (T0, mask))
+    return T, inlier, jnp.sum(inlier.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# bundle adjustment with Schur complement
+# ---------------------------------------------------------------------------
+
+class BAProblem(NamedTuple):
+    kf_q: jnp.ndarray        # [K, 4]
+    kf_t: jnp.ndarray        # [K, 3]
+    mp: jnp.ndarray          # [M, 3]
+    obs: Observations        # capacity O
+    kf_fixed: jnp.ndarray    # [K] bool — poses held constant
+    kf_mask: jnp.ndarray     # [K] bool — slot in use
+    mp_mask: jnp.ndarray     # [M] bool
+
+
+def _build_schur_system(prob: BAProblem, inlier, fx, fy, cx, cy, bf,
+                        robust: bool, damping):
+    """One linearization: returns (S [K6,K6], g [K6], Hpp_inv [M,3,3],
+    bp [M,3], W [K6,M,3]) — the dense-W Schur form. W memory is
+    K*6*M*3 floats; with K<=64, M<=8192 that is ~38 MB, well inside HBM."""
+    K = prob.kf_q.shape[0]
+    M = prob.mp.shape[0]
+    obs = prob.obs
+    r, Jc, Jp, chi2, valid = reproj_residuals(
+        prob.kf_q, prob.kf_t, prob.mp, obs, fx, fy, cx, cy, bf)
+    valid = valid & inlier & prob.kf_mask[obs.kf] & prob.mp_mask[obs.mp]
+    # fixed KFs contribute to points but not to camera blocks
+    cam_free = ~prob.kf_fixed[obs.kf]
+    is_stereo = obs.ur >= 0
+    w = _irls_weights(r, chi2, obs.inv_sigma2, is_stereo, valid, robust)
+    wc = w * cam_free
+
+    # camera diag blocks [K, 6, 6]
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("oad,oae,o->ode", Jc, Jc, wc), obs.kf, num_segments=K)
+    bc = jax.ops.segment_sum(
+        -jnp.einsum("oad,oa,o->od", Jc, r, wc), obs.kf, num_segments=K)
+    # point blocks [M, 3, 3]
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("oad,oae,o->ode", Jp, Jp, w), obs.mp, num_segments=M)
+    bp = jax.ops.segment_sum(
+        -jnp.einsum("oad,oa,o->od", Jp, r, w), obs.mp, num_segments=M)
+
+    # cross blocks, scattered dense: W[K,6,M,3]
+    Wblk = jnp.einsum("oad,oae,o->ode", Jc, Jp, wc)      # [O, 6, 3]
+    Wfull = jnp.zeros((K, 6, M, 3), Jc.dtype).at[obs.kf, :, obs.mp, :].add(Wblk)
+
+    # damp + invert point blocks
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + jnp.eye(3) * (damping * dpp + 1e-6)[..., None, :] * jnp.eye(3)
+    ok = prob.mp_mask & (jnp.linalg.det(Hpp_d) > 1e-12)
+    Hpp_inv = jnp.where(ok[:, None, None],
+                        jnp.linalg.inv(jnp.where(ok[:, None, None], Hpp_d,
+                                                 jnp.eye(3))), 0.0)
+
+    Wr = Wfull.reshape(K * 6, M, 3)
+    # S = Hcc - W Hpp^-1 W^T ; g = bc - W Hpp^-1 bp
+    WHi = jnp.einsum("amx,mxy->amy", Wr, Hpp_inv)        # [K6, M, 3]
+    S_red = jnp.einsum("amy,bmy->ab", WHi, Wr)
+    g_red = jnp.einsum("amy,my->a", WHi, bp)
+
+    Hcc_dense = jnp.zeros((K * 6, K * 6), Jc.dtype)
+    idx = jnp.arange(K)
+    Hcc_dense = Hcc_dense.at[
+        (idx[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+        (idx[:, None, None] * 6 + jnp.arange(6)[None, None, :])].add(Hcc)
+    dcc = jnp.diagonal(Hcc_dense)
+    S = Hcc_dense + jnp.diag(damping * dcc) - S_red
+    g = bc.reshape(-1) - g_red
+
+    # freeze fixed/unused KFs: identity rows/cols, zero rhs
+    free = (prob.kf_mask & ~prob.kf_fixed)
+    fvec = jnp.repeat(free, 6)
+    S = jnp.where(fvec[:, None] & fvec[None, :], S, 0.0)
+    S = S + jnp.diag(jnp.where(fvec, 0.0, 1.0))
+    g = jnp.where(fvec, g, 0.0)
+    return S, g, Hpp_inv, bp, Wr
+
+
+def _ba_cost(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust):
+    r, _, _, chi2, valid = reproj_residuals(
+        prob.kf_q, prob.kf_t, prob.mp, prob.obs, fx, fy, cx, cy, bf)
+    valid = valid & inlier & prob.kf_mask[prob.obs.kf] & prob.mp_mask[prob.obs.mp]
+    if robust:
+        is_stereo = prob.obs.ur >= 0
+        delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+        from ygz_tpu.core.robust import huber_rho
+        c = huber_rho(chi2, delta)
+    else:
+        c = chi2
+    return jnp.sum(jnp.where(valid, c, 0.0))
+
+
+def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping):
+    S, g, Hpp_inv, bp, Wr = _build_schur_system(
+        prob, inlier, fx, fy, cx, cy, bf, robust, damping)
+    K = prob.kf_q.shape[0]
+    dxc = jnp.linalg.solve(S, g)
+    dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
+    # back-substitute points: dxp = Hpp^-1 (bp - W^T dxc)
+    Wt_dxc = jnp.einsum("a,amy->my", dxc, Wr)
+    dxp = jnp.einsum("mxy,my->mx", Hpp_inv, bp - Wt_dxc)
+    dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+
+    dxc = dxc.reshape(K, 6)
+    T_new = lie.se3_retract({"q": prob.kf_q, "t": prob.kf_t}, dxc)
+    free = (prob.kf_mask & ~prob.kf_fixed)[:, None]
+    q_new = jnp.where(free, T_new["q"], prob.kf_q)
+    t_new = jnp.where(free, T_new["t"], prob.kf_t)
+    mp_new = jnp.where(prob.mp_mask[:, None], prob.mp + dxp, prob.mp)
+    return prob._replace(kf_q=q_new, kf_t=t_new, mp=mp_new)
+
+
+def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
+                  robust: bool = True, mu0: float = 1e-4,
+                  inlier: Optional[jnp.ndarray] = None):
+    """LM bundle adjustment with accept/reject damping. Static iteration
+    count; jit-friendly. Returns the updated problem."""
+    fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+    if inlier is None:
+        inlier = prob.obs.mask
+
+    def body(_, carry):
+        p, mu, cost = carry
+        p_try = _ba_step(p, inlier, fx, fy, cx, cy, bf, robust, mu)
+        cost_try = _ba_cost(p_try, inlier, fx, fy, cx, cy, bf, robust)
+        accept = cost_try < cost
+        p = jax.tree.map(
+            lambda old, new: jnp.where(
+                accept.reshape((1,) * old.ndim), new, old), p, p_try)
+        mu = jnp.where(accept, mu * 0.5, mu * 5.0)
+        return p, jnp.clip(mu, 1e-8, 1e4), jnp.where(accept, cost_try, cost)
+
+    c0 = _ba_cost(prob, inlier, fx, fy, cx, cy, bf, robust)
+    prob, _, _ = jax.lax.fori_loop(0, iters, body, (prob, mu0, c0))
+    return prob
+
+
+def classify_outliers(prob: BAProblem, cam):
+    """chi2 gate per observation (5.991 mono / 7.815 stereo), plus positive
+    depth — the erase step between local-BA stages
+    (/root/reference/src/Optimizer.cc:2076-2113)."""
+    _, _, _, chi2, valid = reproj_residuals(
+        prob.kf_q, prob.kf_t, prob.mp, prob.obs,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    th = jnp.where(prob.obs.ur >= 0, CHI2_3DOF, CHI2_2DOF)
+    return prob.obs.mask & valid & (chi2 <= th)
+
+
+def local_bundle_adjustment(prob: BAProblem, cam,
+                            stage1_iters: int = 5, stage2_iters: int = 10):
+    """Two-stage local BA exactly mirroring the reference's schedule
+    (/root/reference/src/Optimizer.cc:1844-2155): optimize 5 iters robust,
+    drop chi2 outliers, optimize 10 more, final outlier classification.
+
+    Returns (problem, inlier_mask)."""
+    prob = bundle_adjust(prob, cam, iters=stage1_iters, robust=True)
+    inlier = classify_outliers(prob, cam)
+    prob = bundle_adjust(prob, cam, iters=stage2_iters, robust=True,
+                         inlier=inlier)
+    inlier = classify_outliers(prob, cam)
+    return prob, inlier
+
+
+def global_bundle_adjustment(prob: BAProblem, cam, iters: int = 20):
+    """Vision global BA (reference BundleAdjustment,
+    /root/reference/src/Optimizer.cc:1478-1654): all KFs free except the
+    first, plain robust LM. Same engine, bigger window."""
+    return bundle_adjust(prob, cam, iters=iters, robust=True)
