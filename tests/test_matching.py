@@ -1,0 +1,140 @@
+"""Tests for correspondence search and the visual vocabulary."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ygz_tpu.matching import search, vocabulary
+
+
+def random_desc(rng, n):
+    return rng.randint(0, 2**32, (n, 8)).astype(np.uint32)
+
+
+def perturb_desc(rng, desc, n_bits):
+    """Flip n_bits random bits in each descriptor."""
+    out = desc.copy()
+    for i in range(len(out)):
+        for _ in range(n_bits):
+            w = rng.randint(8)
+            b = rng.randint(32)
+            out[i, w] ^= np.uint32(1 << b)
+    return out
+
+
+class TestMatching:
+    def test_exact_match(self):
+        rng = np.random.RandomState(0)
+        db = random_desc(rng, 50)
+        perm = rng.permutation(50)
+        res = search.match_descriptors(
+            jnp.asarray(db[perm]), jnp.asarray(db),
+            jnp.ones(50, bool), jnp.ones(50, bool), max_dist=50, ratio=1.0)
+        assert np.asarray(res.mask).all()
+        np.testing.assert_array_equal(np.asarray(res.idx), perm)
+        assert np.asarray(res.dist).max() == 0
+
+    def test_noisy_match_with_ratio(self):
+        rng = np.random.RandomState(1)
+        db = random_desc(rng, 80)
+        noisy = perturb_desc(rng, db, 10)
+        res = search.match_descriptors(
+            jnp.asarray(noisy), jnp.asarray(db),
+            jnp.ones(80, bool), jnp.ones(80, bool), max_dist=50, ratio=0.75)
+        m = np.asarray(res.mask)
+        assert m.mean() > 0.9
+        np.testing.assert_array_equal(np.asarray(res.idx)[m], np.arange(80)[m])
+
+    def test_window_gate(self):
+        rng = np.random.RandomState(2)
+        db = random_desc(rng, 10)
+        uv_kp = jnp.asarray(rng.rand(10, 2).astype(np.float32) * 100)
+        # project map points exactly at the features; tiny radius
+        res = search.search_by_projection(
+            jnp.asarray(db), uv_kp, jnp.full((10,), 2.0),
+            jnp.zeros((10,), jnp.int32), jnp.ones(10, bool),
+            jnp.asarray(db), uv_kp, jnp.zeros((10,), jnp.int32),
+            jnp.ones(10, bool))
+        assert np.asarray(res.mask).all()
+        # now shift projections far away: nothing should match
+        res2 = search.search_by_projection(
+            jnp.asarray(db), uv_kp + 500.0, jnp.full((10,), 2.0),
+            jnp.zeros((10,), jnp.int32), jnp.ones(10, bool),
+            jnp.asarray(db), uv_kp, jnp.zeros((10,), jnp.int32),
+            jnp.ones(10, bool))
+        assert not np.asarray(res2.mask).any()
+
+    def test_rotation_consistency(self):
+        # matches with a common rotation pass; one deviant match dropped
+        M = 40
+        rng = np.random.RandomState(3)
+        ang_b = rng.rand(M).astype(np.float32) * 2 * np.pi
+        ang_a = ang_b + 0.5
+        ang_a[0] += np.pi  # deviant
+        matches = jnp.arange(M, dtype=jnp.int32)
+        mask = jnp.ones((M,), bool)
+        out = search.rotation_consistency(jnp.asarray(ang_a), jnp.asarray(ang_b),
+                                          matches, mask)
+        out = np.asarray(out)
+        assert not out[0]
+        assert out[1:].mean() > 0.95
+
+    def test_epipolar_mask(self):
+        # F for a pure translation along x: epipolar lines horizontal
+        # x2^T F x1 = 0 with F = [e]_x for t=(1,0,0): lines v2 = v1
+        F = jnp.asarray(np.array([[0, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32))
+        uv1 = jnp.array([[50.0, 30.0]])
+        uv2 = jnp.array([[80.0, 30.5], [80.0, 45.0]])
+        m = search.epipolar_mask(F, uv1, uv2, jnp.zeros((2,), jnp.int32),
+                                 jnp.ones((1,)))
+        m = np.asarray(m)[0]
+        assert m[0] and not m[1]
+
+
+class TestVocabulary:
+    def test_train_transform_consistency(self):
+        rng = np.random.RandomState(4)
+        desc = random_desc(rng, 600)
+        vocab = vocabulary.train_vocabulary(desc, k=4, L=3, seed=0)
+        ids = vocabulary.transform(vocab, jnp.asarray(desc[:100]),
+                                   jnp.ones(100, bool))
+        ids = np.asarray(ids)
+        assert ids.min() >= 0 and ids.max() < vocab.n_words
+        # same descriptor -> same word
+        ids2 = vocabulary.transform(vocab, jnp.asarray(desc[:100]),
+                                    jnp.ones(100, bool))
+        np.testing.assert_array_equal(ids, np.asarray(ids2))
+
+    def test_similar_images_score_higher(self):
+        rng = np.random.RandomState(5)
+        base = random_desc(rng, 800)
+        vocab = vocabulary.train_vocabulary(base, k=4, L=3, seed=1)
+
+        img_a = base[:150]
+        img_a2 = perturb_desc(rng, img_a, 4)   # same scene, slight noise
+        img_b = random_desc(rng, 150)          # different scene
+
+        def vec(d):
+            ids = vocabulary.transform(vocab, jnp.asarray(d), jnp.ones(len(d), bool))
+            return vocabulary.bow_vector(vocab, ids, jnp.ones(len(d), bool))
+
+        va, va2, vb = vec(img_a), vec(img_a2), vec(img_b)
+        s_same = float(vocabulary.l1_score(va, va2))
+        s_diff = float(vocabulary.l1_score(va, vb))
+        assert s_same > s_diff + 0.1
+
+    def test_database_scoring(self):
+        rng = np.random.RandomState(6)
+        base = random_desc(rng, 500)
+        vocab = vocabulary.train_vocabulary(base, k=4, L=3, seed=2)
+
+        def vec(d):
+            ids = vocabulary.transform(vocab, jnp.asarray(d), jnp.ones(len(d), bool))
+            return vocabulary.bow_vector(vocab, ids, jnp.ones(len(d), bool))
+
+        kfs = [base[i * 50:(i + 1) * 50] for i in range(8)]
+        db = jnp.stack([vec(k) for k in kfs])
+        query = vec(perturb_desc(rng, kfs[3], 3))
+        scores = vocabulary.score_against_database(
+            query, db, jnp.ones(8, bool))
+        assert int(jnp.argmax(scores)) == 3

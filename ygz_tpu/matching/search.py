@@ -1,0 +1,204 @@
+"""Descriptor correspondence search, batched all-pairs on device.
+
+Replaces the reference's ORBmatcher (/root/reference/src/ORBmatcher.cc,
+1605 LoC of per-feature C++ loops over grid cells). The grid-cell and
+BoW-node restrictions there exist to prune work on a CPU; on TPU the
+full [M, N] Hamming matrix is a single fused popcount-reduce that the
+VPU eats whole (1000x1000x8 lanes ≈ 8M ops), so every Search* variant
+becomes: distance matrix -> feasibility mask (window / epipolar / level /
+threshold) -> masked argmin (+ ratio test, + rotation-histogram filter).
+Constants match the reference: TH_LOW=50, TH_HIGH=100, HISTO_LENGTH=30
+(/root/reference/src/ORBmatcher.cc:36-38).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ygz_tpu.ops.hamming import hamming_matrix
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+
+
+def rotation_consistency(angle_a, angle_b, matches, match_mask,
+                         n_bins: int = HISTO_LENGTH, keep_top: int = 3):
+    """Keep only matches whose angle difference falls in the `keep_top`
+    most popular histogram bins (reference ComputeThreeMaxima,
+    /root/reference/src/ORBmatcher.cc:1471-1505).
+
+    angle_a: [M] angles of the query features (radians)
+    angle_b: [N] angles of the train features
+    matches: [M] int32 index into b (valid where match_mask)
+    """
+    two_pi = 2.0 * jnp.pi
+    rot = angle_a - angle_b[matches]
+    rot = jnp.mod(rot, two_pi)
+    bins = jnp.clip((rot * n_bins / two_pi).astype(jnp.int32), 0, n_bins - 1)
+    hist = jax.ops.segment_sum(match_mask.astype(jnp.int32), bins,
+                               num_segments=n_bins)
+    top_vals, top_idx = jax.lax.top_k(hist, keep_top)
+    # reference also drops bins with <10% of the max count
+    good_bin = jnp.zeros((n_bins,), bool)
+    best = top_vals[0]
+    for i in range(keep_top):
+        keep = top_vals[i].astype(jnp.float32) > 0.1 * best.astype(jnp.float32)
+        good_bin = good_bin.at[top_idx[i]].set(keep)
+    return match_mask & good_bin[bins]
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray    # [M] best train index
+    dist: jnp.ndarray   # [M] best distance
+    mask: jnp.ndarray   # [M] match validity
+
+
+def _mutual_best(dist_mn, mask_mn, row_best_idx, row_mask):
+    """Enforce one-to-one matches: a train feature keeps only its best query
+    (the reference erases the previous match when a better one lands,
+    e.g. /root/reference/src/ORBmatcher.cc:423-437)."""
+    M, N = dist_mn.shape
+    d = jnp.where(mask_mn, dist_mn, 10_000)
+    col_best = jnp.argmin(d, axis=0)  # [N] best query per train feature
+    keep = col_best[row_best_idx] == jnp.arange(M)
+    return row_mask & keep
+
+
+def match_descriptors(desc_a, desc_b, mask_a, mask_b,
+                      max_dist: int = TH_LOW, ratio: float = 1.0,
+                      window_mask: Optional[jnp.ndarray] = None,
+                      mutual: bool = True) -> MatchResult:
+    """Generic gated nearest-neighbor matching a->b.
+
+    window_mask: optional [M, N] feasibility (projection window, epipolar
+    band, shared-BoW-node, grid cell ... whatever the caller encodes).
+    ratio < 1 enables Lowe's ratio test (reference mfNNratio).
+    """
+    dist = hamming_matrix(desc_a, desc_b)  # [M, N]
+    feas = mask_a[:, None] & mask_b[None, :]
+    if window_mask is not None:
+        feas = feas & window_mask
+    d = jnp.where(feas, dist, 10_000)
+    neg2, idx2 = jax.lax.top_k(-d, 2)
+    best_idx = idx2[..., 0]
+    d1 = -neg2[..., 0]
+    d2 = -neg2[..., 1].astype(jnp.float32)
+    ok = (d1 <= max_dist) & mask_a
+    if ratio < 1.0:
+        ok = ok & (d1.astype(jnp.float32) <= ratio * d2)
+    if mutual:
+        ok = _mutual_best(dist, feas, best_idx, ok)
+    return MatchResult(idx=best_idx.astype(jnp.int32), dist=d1, mask=ok)
+
+
+def window_mask_from_projection(uv_proj, kp_uv, radius,
+                                kp_level=None, pred_level=None,
+                                level_slack: int = 1):
+    """[M, N] mask: feature within `radius[m]` px of the projection and
+    (optionally) within +-level_slack of the predicted pyramid level —
+    the gating of SearchByProjection (/root/reference/src/ORBmatcher.cc:
+    44-126: radius scales with viewing cos and level)."""
+    d = uv_proj[:, None, :] - kp_uv[None, :, :]
+    inside = jnp.sum(d * d, axis=-1) <= (radius[:, None] ** 2)
+    if kp_level is not None and pred_level is not None:
+        lv = jnp.abs(kp_level[None, :] - pred_level[:, None]) <= level_slack
+        inside = inside & lv
+    return inside
+
+
+def search_by_projection(mp_desc, mp_uv_proj, mp_radius, mp_pred_level,
+                         mp_mask, kp_desc, kp_uv, kp_level, kp_mask,
+                         max_dist: int = TH_HIGH, ratio: float = 0.8,
+                         mutual: bool = True) -> MatchResult:
+    """Map-point -> current-frame feature association
+    (reference SearchByProjection local-map overload,
+    /root/reference/src/ORBmatcher.cc:44-126)."""
+    wm = window_mask_from_projection(mp_uv_proj, kp_uv, mp_radius,
+                                     kp_level, mp_pred_level)
+    return match_descriptors(mp_desc, kp_desc, mp_mask, kp_mask,
+                             max_dist=max_dist, ratio=ratio,
+                             window_mask=wm, mutual=mutual)
+
+
+def search_for_initialization(desc1, uv1, angle1, mask1,
+                              desc2, uv2, angle2, mask2,
+                              window: float = 100.0, ratio: float = 0.9,
+                              check_rotation: bool = True) -> MatchResult:
+    """Frame-frame matching for the monocular initializer
+    (reference SearchForInitialization,
+    /root/reference/src/ORBmatcher.cc:375-478): window around the same
+    pixel, ratio test, rotation histogram."""
+    wm = window_mask_from_projection(uv1, uv2,
+                                     jnp.full(uv1.shape[:1], window))
+    res = match_descriptors(desc1, desc2, mask1, mask2,
+                            max_dist=TH_LOW, ratio=ratio, window_mask=wm)
+    if check_rotation:
+        m = rotation_consistency(angle1, angle2, res.idx, res.mask)
+        res = res._replace(mask=m)
+    return res
+
+
+def search_by_descriptor(desc_a, angle_a, mask_a, desc_b, angle_b, mask_b,
+                         ratio: float = 0.7, max_dist: int = TH_LOW,
+                         check_rotation: bool = True) -> MatchResult:
+    """Pure-appearance matching between two feature sets.
+
+    Covers the reference's SearchByBoW KF<->Frame and KF<->KF
+    (/root/reference/src/ORBmatcher.cc:155-373,480-595). The BoW
+    FeatureVector node restriction is a CPU pruning heuristic; the
+    all-pairs matrix subsumes it (same accept thresholds, strictly
+    better recall)."""
+    res = match_descriptors(desc_a, desc_b, mask_a, mask_b,
+                            max_dist=max_dist, ratio=ratio)
+    if check_rotation:
+        m = rotation_consistency(angle_a, angle_b, res.idx, res.mask)
+        res = res._replace(mask=m)
+    return res
+
+
+def epipolar_mask(F12, uv1, uv2, kp2_level, level_sigma2, th: float = 3.84):
+    """[N1, N2] mask: uv2 within the chi2 band of uv1's epipolar line under
+    fundamental matrix F12 (reference CheckDistEpipolarLine,
+    /root/reference/src/ORBmatcher.cc — distance^2 < 3.84 sigma^2)."""
+    ones = jnp.ones(uv1.shape[:1] + (1,), uv1.dtype)
+    x1 = jnp.concatenate([uv1, ones], axis=-1)              # [N1, 3]
+    lines = x1 @ F12.T                                      # [N1, 3] (a,b,c)
+    a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]
+    # distance of each uv2 to each line
+    den = jnp.maximum(a * a + b * b, 1e-12)                 # [N1, 1]
+    d2 = (a * uv2[None, :, 0] + b * uv2[None, :, 1] + c) ** 2 / den
+    return d2 < th * level_sigma2[kp2_level][None, :]
+
+
+def search_for_triangulation(desc1, uv1, angle1, mask1,
+                             desc2, uv2, angle2, mask2,
+                             F12, kp2_level, level_sigma2,
+                             ratio: float = 1.0,
+                             check_rotation: bool = True) -> MatchResult:
+    """KF-KF matching constrained to the epipolar band, for creating new
+    map points (reference SearchForTriangulation,
+    /root/reference/src/ORBmatcher.cc:597-746)."""
+    em = epipolar_mask(F12, uv1, uv2, kp2_level, level_sigma2)
+    res = match_descriptors(desc1, desc2, mask1, mask2,
+                            max_dist=TH_LOW, ratio=ratio, window_mask=em)
+    if check_rotation:
+        m = rotation_consistency(angle1, angle2, res.idx, res.mask)
+        res = res._replace(mask=m)
+    return res
+
+
+def fuse_candidates(mp_desc, mp_uv_proj, mp_radius, mp_pred_level, mp_mask,
+                    kp_desc, kp_uv, kp_level, kp_mask,
+                    max_dist: int = TH_LOW) -> MatchResult:
+    """Map-point -> KF-feature fusion candidates (reference Fuse,
+    /root/reference/src/ORBmatcher.cc:748-886): strict threshold, window +
+    level gate; the caller decides replace-vs-add using observation
+    counts (host logic in pipeline.mapping)."""
+    wm = window_mask_from_projection(mp_uv_proj, kp_uv, mp_radius,
+                                     kp_level, mp_pred_level)
+    return match_descriptors(mp_desc, kp_desc, mp_mask, kp_mask,
+                             max_dist=max_dist, ratio=1.0, window_mask=wm)
