@@ -1,0 +1,147 @@
+"""7-DoF Sim3 pose-graph optimization (the essential graph).
+
+Replaces g2o's OptimizeEssentialGraph (/root/reference/src/Optimizer.cc:
+2157-2407): nodes are per-KF Sim3 poses; edges are relative-pose
+measurements from the spanning tree (here: the sequential KF chain — the
+synchronous pipeline's spanning tree is the temporal chain), strong
+covisibility pairs (weight >= 100), and the loop edge. Where g2o hand-codes
+the 7x7 edge Jacobians, we differentiate the residual with jax.jacfwd —
+exact, batched over all edges at once — and solve the dense [K*7, K*7]
+normal system (a few hundred KFs -> ~2000^2, trivial for the MXU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ygz_tpu.core import lie
+from ygz_tpu.pipeline import mapstate
+
+
+def _edge_residual(xi_i, xi_j, S_i, S_j, S_meas_ij):
+    """r = log( S_meas_ij^-1 ∘ (exp(xi_i) S_i) ∘ (exp(xi_j) S_j)^-1 ), [7].
+    S_meas_ij is the measured cam_j -> cam_i relative Sim3."""
+    Si = lie.sim3_compose(lie.sim3_exp(xi_i), S_i)
+    Sj = lie.sim3_compose(lie.sim3_exp(xi_j), S_j)
+    rel = lie.sim3_compose(Si, lie.sim3_inverse(Sj))
+    err = lie.sim3_compose(lie.sim3_inverse(S_meas_ij), rel)
+    return lie.sim3_log(err)
+
+
+def _linearize_edges(S_nodes, edges_i, edges_j, S_meas):
+    """Batched residuals + Jacobians for all edges via forward-mode AD.
+    Returns r [E,7], Ji [E,7,7], Jj [E,7,7]."""
+    zero = jnp.zeros((7,))
+
+    def one(i, j, Sm):
+        S_i = jax.tree.map(lambda a: a[i], S_nodes)
+        S_j = jax.tree.map(lambda a: a[j], S_nodes)
+        r = _edge_residual(zero, zero, S_i, S_j, Sm)
+        Ji = jax.jacfwd(lambda x: _edge_residual(x, zero, S_i, S_j, Sm))(zero)
+        Jj = jax.jacfwd(lambda x: _edge_residual(zero, x, S_i, S_j, Sm))(zero)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(edges_i, edges_j, S_meas)
+
+
+def optimize_sim3_graph(S_nodes, node_mask, fixed_mask,
+                        edges_i, edges_j, S_meas, edge_mask,
+                        num_iters: int = 12):
+    """Gauss-Newton on the Sim3 graph. S_nodes: dict of [K,...] arrays.
+    Returns optimized S_nodes."""
+    K = S_nodes["s"].shape[0]
+    free = node_mask & ~fixed_mask
+    fvec = jnp.repeat(free, 7)
+
+    def gn_step(_, S):
+        r, Ji, Jj = _linearize_edges(S, edges_i, edges_j, S_meas)
+        w = edge_mask.astype(r.dtype)
+        H = jnp.zeros((K * 7, K * 7))
+        b = jnp.zeros((K * 7,))
+
+        def blocks(idx_a, Ja, idx_b, Jb):
+            # H[a, b] += Ja^T Jb, scattered into the dense matrix
+            blk = jnp.einsum("ead,eaf,e->edf", Ja, Jb, w)  # [E, 7, 7]
+            ra = idx_a[:, None, None] * 7 + jnp.arange(7)[None, :, None]
+            cb = idx_b[:, None, None] * 7 + jnp.arange(7)[None, None, :]
+            return ra, cb, blk
+
+        for (ia, Ja) in ((edges_i, Ji), (edges_j, Jj)):
+            bi = -jnp.einsum("ead,ea,e->ed", Ja, r, w)
+            b = b.at[(ia[:, None] * 7 + jnp.arange(7)[None, :])].add(bi)
+            for (ib, Jb) in ((edges_i, Ji), (edges_j, Jj)):
+                ra, cb, blk = blocks(ia, Ja, ib, Jb)
+                H = H.at[ra, cb].add(blk)
+
+        H = jnp.where(fvec[:, None] & fvec[None, :], H, 0.0)
+        H = H + jnp.diag(jnp.where(fvec, 1e-6, 1.0))
+        dx = jnp.linalg.solve(H, b)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(K, 7)
+        dx = jnp.where(free[:, None], dx, 0.0)
+        S_new = lie.sim3_compose(lie.sim3_exp(dx), S)
+        return jax.tree.map(
+            lambda a, bn: jnp.where(
+                free.reshape((K,) + (1,) * (a.ndim - 1)), bn, a), S, S_new)
+
+    return jax.lax.fori_loop(0, num_iters, gn_step, S_nodes)
+
+
+def optimize_essential_graph(ms, loop_a: int, loop_b: int,
+                             fixed_kf: int, covis_min: int = 100,
+                             num_iters: int = 12):
+    """Build edges from the temporal chain + strong covisibility + the
+    loop edge (measurements from current relative poses, loop edge from
+    the already-corrected poses) and optimize; then rescale map points
+    through their reference KF's corrective Sim3 (reference
+    /root/reference/src/Optimizer.cc:2157-2407 + LoopClosing.cc:545-560).
+    """
+    K = ms.kf_q.shape[0]
+    kf_ids = np.where(np.asarray(ms.kf_mask))[0]
+    n = len(kf_ids)
+    if n < 3:
+        return ms
+
+    # edge list (host; sizes are data-dependent but this runs rarely)
+    W = np.asarray(mapstate.covisibility_matrix(ms))
+    ei, ej = [], []
+    for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+        ei.append(a); ej.append(b)                    # spanning chain
+    strong = np.argwhere(W >= covis_min)
+    for a, b in strong:
+        if a < b and abs(a - b) > 1:
+            ei.append(a); ej.append(b)
+    ei.append(loop_a); ej.append(loop_b)              # the loop edge
+    ei = np.array(ei, np.int32)
+    ej = np.array(ej, np.int32)
+
+    S_nodes = lie.sim3_from_se3({"q": ms.kf_q, "t": ms.kf_t})
+    S_old = jax.tree.map(lambda a: a, S_nodes)  # copy for point correction
+
+    Si = jax.tree.map(lambda a: a[jnp.asarray(ei)], S_nodes)
+    Sj = jax.tree.map(lambda a: a[jnp.asarray(ej)], S_nodes)
+    S_meas = lie.sim3_compose(Si, lie.sim3_inverse(Sj))
+
+    fixed = jnp.zeros((K,), bool).at[fixed_kf].set(True)
+    S_opt = optimize_sim3_graph(
+        S_nodes, ms.kf_mask, fixed,
+        jnp.asarray(ei), jnp.asarray(ej), S_meas,
+        jnp.ones((len(ei),), bool), num_iters=num_iters)
+
+    # correct map points through their reference KF: X' = S_new^-1 S_old X
+    ref = jnp.clip(ms.mp_ref_kf, 0, K - 1)
+    S_old_r = jax.tree.map(lambda a: a[ref], S_old)
+    S_new_r = jax.tree.map(lambda a: a[ref], S_opt)
+    Xc = lie.sim3_apply(S_old_r, ms.mp_pos)
+    X_new = lie.sim3_apply(lie.sim3_inverse(S_new_r), Xc)
+    mp_pos = jnp.where(ms.mp_mask[:, None], X_new, ms.mp_pos)
+
+    # write back SE3-ified node poses [sR t] -> [R t/s]
+    T_new = lie.se3_from_sim3(S_opt)
+    kf_q = jnp.where(ms.kf_mask[:, None], T_new["q"], ms.kf_q)
+    kf_t = jnp.where(ms.kf_mask[:, None], T_new["t"], ms.kf_t)
+    return dataclasses.replace(ms, kf_q=kf_q, kf_t=kf_t, mp_pos=mp_pos)

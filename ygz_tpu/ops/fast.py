@@ -167,6 +167,33 @@ def select_grid_topk(score, valid, cell: int, per_cell: int, border: int = 16):
     return uv, jnp.where(mask, sflat, 0.0), mask
 
 
+def subpixel_refine(score, uv, mask):
+    """Quadratic subpixel refinement of integer corner positions on the
+    response map: 1D parabola fits along u and v (a precision upgrade over
+    the reference's integer FAST corners — cuts triangulation noise at
+    small parallax for free)."""
+    H, W = score.shape
+    ui = jnp.clip(uv[:, 0].astype(jnp.int32), 1, W - 2)
+    vi = jnp.clip(uv[:, 1].astype(jnp.int32), 1, H - 2)
+    flat = score.reshape(-1)
+    base = vi * W + ui
+    s0 = flat[base]
+    sl = flat[base - 1]
+    sr = flat[base + 1]
+    su = flat[base - W]
+    sd = flat[base + W]
+
+    def para(m, p):
+        den = m - 2.0 * s0 + p
+        d = 0.5 * (m - p) / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        return jnp.clip(jnp.where(jnp.abs(den) < 1e-9, 0.0, d), -0.5, 0.5)
+
+    du = para(sl, sr)
+    dv = para(su, sd)
+    out = uv + jnp.stack([du, dv], axis=-1)
+    return jnp.where(mask[:, None], out, uv)
+
+
 def detect_level(img, threshold: float, cell: int, per_cell: int,
                  border: int = 16, low_threshold: float | None = None):
     """Full single-level detection: FAST mask -> Shi-Tomasi score -> nonmax ->
@@ -186,6 +213,7 @@ def detect_level(img, threshold: float, cell: int, per_cell: int,
     biased = jnp.where(corners_hi, score + 1e4, score)
     uv, s, mask = select_grid_topk(biased, corners_lo & keep, cell, per_cell, border)
     s = jnp.where(s > 1e4 * 0.5, s - 1e4, s)  # undo bias for reported score
+    uv = subpixel_refine(score, uv, mask)
     return uv, s, mask
 
 
@@ -207,6 +235,13 @@ def detect_pyramid(pyr: Tuple[jnp.ndarray, ...], scales: np.ndarray,
     s = jnp.concatenate(all_s)
     lvl = jnp.concatenate(all_lvl)
     m = jnp.concatenate(all_m)
+
+    if uv.shape[0] < n_features:  # small images: pad with invalid slots
+        pad = n_features - uv.shape[0]
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), uv.dtype)])
+        s = jnp.concatenate([s, jnp.zeros((pad,), s.dtype)])
+        lvl = jnp.concatenate([lvl, jnp.zeros((pad,), lvl.dtype)])
+        m = jnp.concatenate([m, jnp.zeros((pad,), bool)])
 
     ranked = jnp.where(m, s, -jnp.inf)
     top_s, idx = jax.lax.top_k(ranked, n_features)

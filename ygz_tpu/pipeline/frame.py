@@ -1,0 +1,163 @@
+"""Per-frame container and the lazy feature-extraction pipeline.
+
+Mirrors the reference's Frame design choice that enables direct tracking
+(/root/reference/src/Frame.cc:148,717-771): constructing a frame builds
+ONLY the image pyramid; ORB detection + description run on demand
+(initialization, relocalization, keyframe creation) — most frames are
+tracked photometrically and never pay for extraction.
+
+The device-side extraction step (pyramid -> keypoints -> orientation ->
+descriptors) is one jitted program with static capacity n_features.
+Stereo matching follows the reference's rectified SAD + parabola scheme
+(/root/reference/src/Frame.cc:509-683) but batched: every left feature
+scans its disparity range in one gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ygz_tpu.core import lie
+from ygz_tpu.ops import fast, orb, pyramid
+from ygz_tpu.utils.config import SlamConfig
+
+
+@dataclasses.dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    pyramid: Tuple[jnp.ndarray, ...]
+    # pose (world->cam); None until tracked
+    T_cw: Optional[dict] = None
+    # features (None until extracted)
+    uv: Optional[jnp.ndarray] = None          # [N, 2] level-0 coords
+    level: Optional[jnp.ndarray] = None       # [N]
+    angle: Optional[jnp.ndarray] = None       # [N]
+    desc: Optional[jnp.ndarray] = None        # [N, 8] uint32
+    feat_mask: Optional[jnp.ndarray] = None   # [N]
+    ur: Optional[jnp.ndarray] = None          # [N] stereo right-u (-1 mono)
+    depth: Optional[jnp.ndarray] = None       # [N] (-1 unknown)
+    mp_idx: Optional[jnp.ndarray] = None      # [N] tracked map point ids
+    # IMU measurements since previous frame (vio path)
+    imu: Optional[np.ndarray] = None          # [n, 7] (t, wx wy wz, ax ay az)
+
+    @property
+    def extracted(self) -> bool:
+        return self.uv is not None
+
+    def pose_or_identity(self):
+        return self.T_cw if self.T_cw is not None else lie.se3_identity()
+
+
+def make_frame(img: np.ndarray, frame_id: int, timestamp: float,
+               cfg: SlamConfig, imu: Optional[np.ndarray] = None) -> Frame:
+    """Build a frame: grayscale float32 + pyramid only (lazy features)."""
+    g = jnp.asarray(img, dtype=jnp.float32)
+    pyr = _build_pyramid_jit(g, cfg.n_levels, cfg.scale_factor)
+    return Frame(frame_id=frame_id, timestamp=timestamp, pyramid=pyr, imu=imu)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _build_pyramid_jit(img, n_levels, scale_factor):
+    return pyramid.build_pyramid(img, n_levels, scale_factor)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_jit(pyr, cfg: SlamConfig):
+    scales = cfg.scale_factors
+    kps = fast.detect_pyramid(
+        pyr, scales, cfg.ini_th_fast, cfg.min_th_fast,
+        cfg.n_features, cell=cfg.detect_cell, per_cell=cfg.detect_per_cell)
+    blurred = tuple(pyramid.gaussian_blur(p) for p in pyr)
+    angles, descs = orb.describe_keypoints(blurred, kps, scales)
+    return kps.uv, kps.level, angles, descs, kps.mask
+
+
+def extract_features(frame: Frame, cfg: SlamConfig,
+                     depth_img: Optional[np.ndarray] = None,
+                     right_pyr: Optional[Tuple] = None) -> Frame:
+    """Run detection + description; fill stereo/RGBD fields if available.
+
+    Keeps already-tracked direct points? The reference re-describes
+    direct-tracked keypoints on KF creation (/root/reference/src/
+    ORBextractor.cc:1031-1127); here detection is dense enough (grid
+    top-k) that direct points re-associate through the map-point fuse
+    step instead — simpler and shape-stable.
+    """
+    if frame.extracted:
+        return frame
+    uv, level, angle, desc, mask = _extract_jit(frame.pyramid, cfg)
+    N = int(uv.shape[0])
+    ur = jnp.full((N,), -1.0, jnp.float32)
+    depth = jnp.full((N,), -1.0, jnp.float32)
+    if depth_img is not None:
+        d = jnp.asarray(depth_img, jnp.float32) / cfg.depth_map_factor
+        ui = jnp.clip(uv[:, 0].astype(jnp.int32), 0, d.shape[1] - 1)
+        vi = jnp.clip(uv[:, 1].astype(jnp.int32), 0, d.shape[0] - 1)
+        depth = d[vi, ui]
+        valid_d = depth > 0
+        ur = jnp.where(valid_d, uv[:, 0] - cfg.camera.bf / jnp.maximum(depth, 1e-6),
+                       -1.0)
+        depth = jnp.where(valid_d, depth, -1.0)
+    elif right_pyr is not None:
+        ur, depth = stereo_match(frame.pyramid, right_pyr, uv, level, mask, cfg)
+    return dataclasses.replace(
+        frame, uv=uv, level=level, angle=angle, desc=desc, feat_mask=mask,
+        ur=ur, depth=depth,
+        mp_idx=jnp.full((N,), -1, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stereo_match(pyr_l, pyr_r, uv, level, mask, cfg: SlamConfig,
+                 max_disp_frac: float = 0.5, w: int = 5):
+    """Rectified stereo correspondence: SAD over a sliding window along the
+    same row + parabola subpixel (reference ComputeStereoMatches,
+    /root/reference/src/Frame.cc:509-683), batched over all features.
+
+    Uses a fixed disparity search range [0, max_disp) at level 0.
+    Returns (ur [N], depth [N]) with -1 where invalid.
+    """
+    img_l, img_r = pyr_l[0], pyr_r[0]
+    H, W = img_l.shape
+    max_disp = int(W * max_disp_frac)
+    N = uv.shape[0]
+
+    from ygz_tpu.ops.interp import bilinear_sample
+
+    # left patch [N, w, w]
+    offs = jnp.arange(-(w // 2), w // 2 + 1, dtype=jnp.float32)
+    du = jnp.broadcast_to(offs[None, :], (w, w)).reshape(-1)
+    dv = jnp.broadcast_to(offs[:, None], (w, w)).reshape(-1)
+    patch_l = bilinear_sample(
+        img_l, uv[:, None, :] + jnp.stack([du, dv], -1)[None])  # [N, w*w]
+
+    # candidate disparities at integer steps
+    disp = jnp.arange(0, max_disp, dtype=jnp.float32)          # [D]
+    cand_uv = (uv[:, None, None, :]
+               + jnp.stack([du, dv], -1)[None, None, :, :]
+               - jnp.stack([disp, jnp.zeros_like(disp)], -1)[None, :, None, :])
+    patch_r = bilinear_sample(img_r, cand_uv)                   # [N, D, w*w]
+    sad = jnp.sum(jnp.abs(patch_r - patch_l[:, None, :]), axis=-1)  # [N, D]
+
+    in_bounds = (uv[:, 0:1] - disp[None, :]) >= w
+    sad = jnp.where(in_bounds, sad, jnp.inf)
+    best = jnp.argmin(sad, axis=1)                              # [N]
+    d0 = jnp.clip(best, 1, max_disp - 2)
+    s_m = jnp.take_along_axis(sad, (d0 - 1)[:, None], 1)[:, 0]
+    s_0 = jnp.take_along_axis(sad, d0[:, None], 1)[:, 0]
+    s_p = jnp.take_along_axis(sad, (d0 + 1)[:, None], 1)[:, 0]
+    denom = jnp.maximum(s_m + s_p - 2 * s_0, 1e-6)
+    delta = jnp.clip(0.5 * (s_m - s_p) / denom, -1.0, 1.0)
+    disp_sub = d0.astype(jnp.float32) + delta
+
+    ok = mask & jnp.isfinite(s_0) & (disp_sub > 0.1)
+    depth = jnp.where(ok, cfg.camera.bf / jnp.maximum(disp_sub, 0.1), -1.0)
+    ok = ok & (depth > 0) & (depth < cfg.camera.bf * 100)
+    ur = jnp.where(ok, uv[:, 0] - disp_sub, -1.0)
+    return ur, jnp.where(ok, depth, -1.0)

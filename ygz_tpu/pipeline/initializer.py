@@ -231,8 +231,8 @@ class InitResult(NamedTuple):
 
 def initialize_two_view(uv1, uv2, mask, K,
                         n_hypotheses: int = 256, seed: int = 0,
-                        min_good: int = 50, min_parallax_deg: float = 1.0
-                        ) -> InitResult:
+                        min_good: int = 50, min_parallax_deg: float = 1.0,
+                        h_min_sv_ratio: float = 1.08) -> InitResult:
     """Full two-view bootstrap (reference Initializer::Initialize).
 
     uv1/uv2: [N, 2] matched pixels (N static capacity), mask validity.
@@ -324,11 +324,21 @@ def initialize_two_view(uv1, uv2, mask, K,
     min_parallax_cos = jnp.cos(jnp.deg2rad(min_parallax_deg))
     par_ok = jnp.stack([r[2] for r in results])[best_c] < min_parallax_cos
 
+    # homography degeneracy gate: when the calibrated H is close to a pure
+    # conjugate rotation (singular values d1 ~= d3), the Faugeras
+    # decomposition is noise-dominated and produces spurious-parallax
+    # solutions; d1/d3 - 1 ~ |t|/d, so requiring d1/d3 > 1.08 demands a
+    # baseline of at least ~8% of the scene distance before a planar
+    # initialization is trusted.
+    sv = jnp.linalg.svd(jnp.linalg.inv(K) @ Hbest @ K, compute_uv=False)
+    h_conditioned = (sv[0] / jnp.maximum(sv[2], 1e-9)) > h_min_sv_ratio
+    model_ok = jnp.where(use_h, h_conditioned, True)
+
     n_inlier = jnp.sum(inlier.astype(jnp.int32))
     success = ((n_best >= min_good)
                & (n_best >= (0.9 * n_inlier).astype(jnp.int32))
                & (second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32))
-               & par_ok)
+               & par_ok & model_ok)
 
     R = jnp.stack([r[3] for r in results])[best_c]
     t = jnp.stack([r[4] for r in results])[best_c]

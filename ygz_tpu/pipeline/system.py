@@ -1,0 +1,179 @@
+"""System facade: the public API mirroring the reference's System class
+(/root/reference/include/System.h:66-149) — construct with a settings
+config + vocabulary, feed frames via TrackMonocular / TrackStereo /
+TrackRGBD / TrackMonoVI, export trajectories in TUM and KITTI formats,
+switch localization mode, reset, shutdown.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ygz_tpu.core import lie
+from ygz_tpu.matching import vocabulary as vocab_mod
+from ygz_tpu.pipeline import frame as frame_mod
+from ygz_tpu.pipeline.mapping import LocalMapping
+from ygz_tpu.pipeline.tracking import Tracker, LOST
+from ygz_tpu.utils.config import SlamConfig
+
+MONOCULAR = 0
+STEREO = 1
+RGBD = 2
+
+
+class System:
+    def __init__(self, cfg: SlamConfig,
+                 vocab: Optional[vocab_mod.Vocabulary] = None,
+                 sensor: int = MONOCULAR,
+                 use_loop_closing: bool = True):
+        self.cfg = cfg
+        self.sensor = sensor
+        if vocab is None:
+            # a random-descriptor vocabulary still produces valid word ids;
+            # retrieval quality improves once a trained one is supplied
+            # (ygz_tpu.apps.train_vocab tool)
+            rng = np.random.RandomState(0)
+            seed_desc = rng.randint(0, 2 ** 32, (4096, 8)).astype(np.uint32)
+            vocab = vocab_mod.train_vocabulary(seed_desc, k=cfg.vocab_k,
+                                               L=cfg.vocab_L)
+        self.vocab = vocab
+        self.mapper = LocalMapping(cfg)
+        self.tracker = Tracker(cfg, vocab, mapper=self.mapper)
+        self.localization_only = False
+        self.loop_closer = None
+        if use_loop_closing and not cfg.use_imu:
+            # IMU mode disables loop correction entirely, as the reference
+            # does (/root/reference/src/LoopClosing.cc:70-78)
+            from ygz_tpu.pipeline.loopclosing import LoopClosing
+            self.loop_closer = LoopClosing(cfg)
+            self.mapper.loop_closer = self.loop_closer
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img: np.ndarray, timestamp: float):
+        """img: [H, W] grayscale (uint8 or float). Returns T_cw or None."""
+        fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg)
+        T = self.tracker.track(fr)
+        if self.loop_closer is not None and self.tracker.n_kf > 0 and \
+                self.tracker.last_kf_frame_id == fr.frame_id:
+            self.loop_closer.on_new_keyframe(self.tracker,
+                                             self.tracker.ref_kf)
+        return T
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                   timestamp: float):
+        fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg)
+        fr = frame_mod.extract_features(fr, self.cfg, depth_img=depth)
+        T = self.tracker.track(fr)
+        if self.loop_closer is not None and self.tracker.n_kf > 0 and \
+                self.tracker.last_kf_frame_id == fr.frame_id:
+            self.loop_closer.on_new_keyframe(self.tracker, self.tracker.ref_kf)
+        return T
+
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                     timestamp: float):
+        fr = frame_mod.make_frame(img_l, self._next_id(), timestamp, self.cfg)
+        right = frame_mod.make_frame(img_r, -1, timestamp, self.cfg)
+        fr = frame_mod.extract_features(fr, self.cfg,
+                                        right_pyr=right.pyramid)
+        T = self.tracker.track(fr)
+        if self.loop_closer is not None and self.tracker.n_kf > 0 and \
+                self.tracker.last_kf_frame_id == fr.frame_id:
+            self.loop_closer.on_new_keyframe(self.tracker, self.tracker.ref_kf)
+        return T
+
+    def track_mono_vi(self, img: np.ndarray, imu: np.ndarray,
+                      timestamp: float):
+        """Monocular + IMU (reference TrackMonoVI,
+        /root/reference/src/System.cc:47). imu: [n, 7] rows of
+        (t, wx, wy, wz, ax, ay, az) since the previous frame."""
+        fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg,
+                                  imu=imu)
+        return self.tracker.track(fr)
+
+    _id_counter = 0
+
+    def _next_id(self) -> int:
+        self._id_counter += 1
+        return self._id_counter
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Track only; map maintenance suspended (reference
+        ActivateLocalizationMode)."""
+        self.localization_only = True
+        self.tracker.mapper = None
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.mapper = self.mapper
+
+    def reset(self):
+        cfg = self.cfg
+        self.mapper = LocalMapping(cfg)
+        self.tracker = Tracker(cfg, self.vocab, mapper=self.mapper)
+
+    def shutdown(self):
+        pass  # no threads to join: the pipeline is synchronous
+
+    def map_changed(self) -> bool:
+        return True
+
+    # ------------------------------------------------------------------
+    # trajectory export (reference src/System.cc:374-519)
+    # ------------------------------------------------------------------
+    def _frame_poses(self):
+        """Re-anchor per-frame relative poses through the (possibly
+        loop-corrected) keyframe poses, as the reference does at save time
+        (/root/reference/src/System.cc:398-417)."""
+        ms = self.tracker.ms
+        out = []
+        for rec in self.tracker.trajectory:
+            if rec.get("lost"):
+                continue
+            k = rec["ref_kf"]
+            T_ref = {"q": ms.kf_q[k], "t": ms.kf_t[k]}
+            T_c_ref = {kk: jnp.asarray(v) for kk, v in rec["T_c_ref"].items()}
+            T_cw = lie.se3_compose(T_c_ref, T_ref)
+            out.append((rec["timestamp"], T_cw))
+        return out
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: t tx ty tz qx qy qz qw of camera-in-world."""
+        with open(path, "w") as f:
+            for ts, T_cw in self._frame_poses():
+                T_wc = lie.se3_inverse(T_cw)
+                t = np.asarray(T_wc["t"])
+                q = np.asarray(T_wc["q"])  # (w, x, y, z)
+                f.write(f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        ms = self.tracker.ms
+        mask = np.asarray(ms.kf_mask)
+        ts = np.asarray(ms.kf_timestamp)
+        order = np.argsort(ts)
+        with open(path, "w") as f:
+            for k in order:
+                if not mask[k]:
+                    continue
+                T_wc = lie.se3_inverse({"q": ms.kf_q[k], "t": ms.kf_t[k]})
+                t = np.asarray(T_wc["t"])
+                q = np.asarray(T_wc["q"])
+                f.write(f"{ts[k]:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: one 3x4 row-major T_wc per line."""
+        with open(path, "w") as f:
+            for ts, T_cw in self._frame_poses():
+                M = np.asarray(lie.se3_matrix(lie.se3_inverse(T_cw)))[:3]
+                f.write(" ".join(f"{x:.7e}" for x in M.reshape(-1)) + "\n")
+
+    def get_trajectory(self):
+        """[(timestamp, T_wc 4x4 numpy)] for in-process evaluation."""
+        return [(ts, np.asarray(lie.se3_matrix(lie.se3_inverse(T))))
+                for ts, T in self._frame_poses()]
