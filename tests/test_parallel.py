@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ygz_tpu.backend import ba
+from ygz_tpu.core import camera as cam_mod
+from ygz_tpu.core import lie
+from ygz_tpu.parallel import sharding
+
+CAM = cam_mod.Camera(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+                     width=320, height=240)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, jax.devices()
+    return sharding.make_mesh(8)
+
+
+def _padded_scene(O_pad=1024):
+    from test_ba import make_scene
+    kf_q, kf_t, pts, obs = make_scene(n_kf=4, n_mp=60, seed=0, noise_px=0.2)
+    O = obs.kf.shape[0]
+    pad = ba.Observations(
+        kf=jnp.zeros((O_pad,), jnp.int32).at[:O].set(obs.kf),
+        mp=jnp.zeros((O_pad,), jnp.int32).at[:O].set(obs.mp),
+        uv=jnp.zeros((O_pad, 2)).at[:O].set(obs.uv),
+        ur=jnp.full((O_pad,), -1.0).at[:O].set(obs.ur),
+        inv_sigma2=jnp.ones((O_pad,)).at[:O].set(obs.inv_sigma2),
+        mask=jnp.zeros((O_pad,), bool).at[:O].set(obs.mask))
+    return kf_q, kf_t, pts, pad
+
+
+class TestShardedBA:
+    def test_reduces_cost(self, mesh):
+        kf_q, kf_t, pts, obs = _padded_scene()
+        rng = np.random.RandomState(1)
+        dq = jnp.asarray(rng.randn(4, 6).astype(np.float32) * 0.01).at[:2].set(0.0)
+        T_pert = lie.se3_retract({"q": kf_q, "t": kf_t}, dq)
+        mp_pert = pts + jnp.asarray(rng.randn(*pts.shape).astype(np.float32) * 0.03)
+        prob = ba.BAProblem(
+            kf_q=T_pert["q"], kf_t=T_pert["t"], mp=mp_pert, obs=obs,
+            kf_fixed=jnp.array([True, True, False, False]),
+            kf_mask=jnp.ones((4,), bool), mp_mask=jnp.ones((60,), bool))
+
+        def cost(q, t, m):
+            return float(ba._ba_cost(
+                prob._replace(kf_q=q, kf_t=t, mp=m), obs.mask,
+                CAM.fx, CAM.fy, CAM.cx, CAM.cy, CAM.bf, False))
+
+        c0 = cost(prob.kf_q, prob.kf_t, prob.mp)
+        q, t, m = sharding.sharded_ba_gauss_seidel_step(mesh, prob, CAM,
+                                                        num_iters=8)
+        c1 = cost(q, t, m)
+        assert c1 < 0.5 * c0, (c0, c1)
+
+    def test_matches_single_device_semantics(self, mesh):
+        # the psum-assembled normal equations must equal the single-shard
+        # ones: run with identical data and compare one update step
+        kf_q, kf_t, pts, obs = _padded_scene()
+        prob = ba.BAProblem(
+            kf_q=kf_q, kf_t=kf_t, mp=pts, obs=obs,
+            kf_fixed=jnp.array([True, True, False, False]),
+            kf_mask=jnp.ones((4,), bool), mp_mask=jnp.ones((60,), bool))
+        q8, t8, m8 = sharding.sharded_ba_gauss_seidel_step(mesh, prob, CAM,
+                                                           num_iters=2)
+        mesh1 = sharding.make_mesh(1)
+        q1, t1, m1 = sharding.sharded_ba_gauss_seidel_step(mesh1, prob, CAM,
+                                                           num_iters=2)
+        np.testing.assert_allclose(np.asarray(q8), np.asarray(q1), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=2e-4)
+
+
+class TestBatchedTracking:
+    def test_pose_refine_batch(self, mesh):
+        rng = np.random.RandomState(2)
+        B, N = 8, 128
+        pts = jnp.asarray(np.stack([
+            np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                      rng.uniform(4, 8, N)], 1) for _ in range(B)]).astype(np.float32))
+        xi = jnp.asarray(rng.randn(B, 6).astype(np.float32) * 0.05)
+        T_true = lie.se3_exp(xi)
+        pc = lie.se3_apply(jax.tree.map(lambda a: a[:, None], T_true), pts)
+        uv = jnp.stack([CAM.fx * pc[..., 0] / pc[..., 2] + CAM.cx,
+                        CAM.fy * pc[..., 1] / pc[..., 2] + CAM.cy], -1)
+        mask = jnp.ones((B, N), bool)
+        T0 = lie.se3_exp(xi + jnp.asarray(rng.randn(B, 6).astype(np.float32) * 0.02))
+
+        T, n = sharding.batched_pose_refine(mesh, T0, pts, uv, mask, CAM)
+        err = lie.se3_log(lie.se3_compose(lie.se3_inverse(T), T_true))
+        assert float(jnp.abs(err).max()) < 1e-3

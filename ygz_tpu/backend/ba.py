@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ygz_tpu.core import lie
 from ygz_tpu.core.robust import CHI2_2DOF, CHI2_3DOF, huber_weight
+from ygz_tpu.core.smallsolve import inv3x3, solve6x6
 
 HUBER_MONO = CHI2_2DOF ** 0.5
 HUBER_STEREO = CHI2_3DOF ** 0.5
@@ -147,7 +148,7 @@ def pose_optimization(T0, pts_w, uv, ur, inv_sigma2, mask,
                 _irls_weights(r, chi2, inv_sigma2, is_stereo, valid, False))
             H = jnp.einsum("oad,oae,o->de", Jc, Jc, w)
             b = -jnp.einsum("oad,oa,o->d", Jc, r, w)
-            dx = jnp.linalg.solve(H + 1e-5 * jnp.eye(6), b)
+            dx = solve6x6(H + 1e-5 * jnp.eye(6), b)
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             return lie.se3_retract(Tc, dx)
 
@@ -213,8 +214,8 @@ def _build_schur_system(prob: BAProblem, inlier, fx, fy, cx, cy, bf,
     Hpp_d = Hpp + jnp.eye(3) * (damping * dpp + 1e-6)[..., None, :] * jnp.eye(3)
     ok = prob.mp_mask & (jnp.linalg.det(Hpp_d) > 1e-12)
     Hpp_inv = jnp.where(ok[:, None, None],
-                        jnp.linalg.inv(jnp.where(ok[:, None, None], Hpp_d,
-                                                 jnp.eye(3))), 0.0)
+                        inv3x3(jnp.where(ok[:, None, None], Hpp_d,
+                                         jnp.eye(3))), 0.0)
 
     Wr = Wfull.reshape(K * 6, M, 3)
     # S = Hcc - W Hpp^-1 W^T ; g = bc - W Hpp^-1 bp

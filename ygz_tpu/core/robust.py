@@ -34,6 +34,20 @@ def tdist_weight(r, nu: float = 5.0):
     return (nu + 1.0) / (nu + r * r)
 
 
+def mean_abs_scale(r, mask=None):
+    """Sort-free robust scale: sigma ~= 1.2533 * mean|r| (exact for a
+    Gaussian). Used on per-iteration hot paths where the median's full
+    sort would dominate the kernel (TPU sorts are expensive)."""
+    a = jnp.abs(r)
+    if mask is not None:
+        num = jnp.sum(jnp.where(mask, a, 0.0))
+        den = jnp.maximum(jnp.sum(mask.astype(a.dtype)), 1.0)
+    else:
+        num = jnp.sum(a)
+        den = a.size
+    return jnp.maximum(1.2533 * num / den, 1e-6)
+
+
 def mad_scale(r, mask=None):
     """Median absolute deviation scale (vikit MADScaleEstimator, 1.4826*MAD).
 

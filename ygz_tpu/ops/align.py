@@ -29,8 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from ygz_tpu.core import lie
-from ygz_tpu.core.robust import huber_weight, mad_scale
-from ygz_tpu.ops.interp import bilinear_sample, bilinear_sample_with_grad
+from ygz_tpu.core.robust import huber_weight, mean_abs_scale
+from ygz_tpu.core.smallsolve import solve3x3, solve6x6
+from ygz_tpu.ops.interp import (bilinear_sample, gather_anchored_blocks,
+                                sample_blocks_shifted, sample_patch_grid)
 
 SPARSE_HALF_PATCH = 2   # 4x4 patches (reference SparseImageAlign.h:15-17)
 ALIGN_HALF_PATCH = 4    # 8x8 patches (reference Align.cc)
@@ -76,10 +78,10 @@ class SparseAlignProblem(NamedTuple):
 
 
 def extract_ref_patches(img_ref, uv_ref, half: int = SPARSE_HALF_PATCH):
-    """Sample [N, P] reference patches at (possibly sub-pixel) uv."""
-    offs = _patch_offsets(half)  # [P, 2]
-    pts = uv_ref[:, None, :] + offs[None, :, :]
-    return bilinear_sample(img_ref, pts)
+    """Sample [N, P] reference patches at (possibly sub-pixel) uv —
+    one block gather per point (see interp.sample_patch_grid)."""
+    val, _ = sample_patch_grid(img_ref, uv_ref, half)
+    return val
 
 
 def sparse_align_level(T_cur_ref, img_cur, prob: SparseAlignProblem,
@@ -92,21 +94,33 @@ def sparse_align_level(T_cur_ref, img_cur, prob: SparseAlignProblem,
     Huber-weighted intensity residuals, 6x6 solve; returns the refined
     pose and the fraction-tracked diagnostics.
     """
-    offs = _patch_offsets(half)  # [P, 2]
+    margin = 8  # px of pose-update slack after the initial projection
 
-    def gn_iter(_, carry):
-        T, _ = carry
-        pc = lie.se3_apply(T, prob.points_ref)  # [N, 3]
-        behind = pc[..., 2] < 1e-3
+    def project(T):
+        pc = lie.se3_apply(T, prob.points_ref)
         u = fx * pc[..., 0] / jnp.maximum(pc[..., 2], 1e-3) + cx
         v = fy * pc[..., 1] / jnp.maximum(pc[..., 2], 1e-3) + cy
-        uv = jnp.stack([u, v], axis=-1)
-        pix = uv[:, None, :] + offs[None, :, :]         # [N, P, 2]
-        val, gu, gv, vis = bilinear_sample_with_grad(img_cur, pix)
-        r = val - prob.ref_patches                       # [N, P]
-        valid = (prob.mask & ~behind)[:, None] & vis     # [N, P]
+        return pc, jnp.stack([u, v], axis=-1)
 
-        sigma = mad_scale(r, valid)
+    # gather ONCE at the initial projection; GN iterations resample
+    # shifted windows from the in-register blocks (see interp docstring —
+    # per-iteration gathers cost ~0.6 ms fixed on TPU)
+    pc0, uv0 = project(T_cur_ref)
+    blocks, corner, blk_valid = gather_anchored_blocks(
+        img_cur, uv0, half, margin)
+    center = corner + (half + margin)  # block-center pixel coords
+
+    def gn_iter(carry):
+        T, _, it, _ = carry
+        pc, uv = project(T)
+        behind = pc[..., 2] < 1e-3
+        val, gu, gv, in_range = sample_blocks_shifted(
+            blocks, uv - center, half, margin, with_grad=True)
+        r = val - prob.ref_patches                             # [N, P]
+        valid_pt = prob.mask & ~behind & blk_valid & in_range
+        valid = valid_pt[:, None] & jnp.ones_like(r, dtype=bool)
+
+        sigma = mean_abs_scale(r, valid)
         w = huber_weight(r / sigma, 1.345) / (sigma * sigma)
         w = jnp.where(valid, w, 0.0)
 
@@ -115,14 +129,23 @@ def sparse_align_level(T_cur_ref, img_cur, prob: SparseAlignProblem,
         J = jnp.einsum("npk,nkd->npd", g, Jc)            # [N, P, 6]
         H = jnp.einsum("npd,npe,np->de", J, J, w)
         b = -jnp.einsum("npd,np,np->d", J, r, w)
-        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), b)
+        dx = solve6x6(H + 1e-6 * jnp.eye(6), b)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         T_new = lie.se3_retract(T, dx)
-        n_good = jnp.sum(jnp.all(valid, axis=1).astype(jnp.int32))
-        return T_new, n_good
+        n_good = jnp.sum(valid_pt.astype(jnp.int32))
+        return T_new, n_good, it + 1, jnp.linalg.norm(dx)
 
-    T, n_good = jax.lax.fori_loop(
-        0, num_iters, gn_iter, (T_cur_ref, jnp.int32(0)))
+    # early-stopping GN: the reference's NLLSSolver also exits on a small
+    # update (eps stop, NLSSolver_impl.hpp:78-85); typical convergence is
+    # 3-4 iterations, and on TPU each skipped iteration saves real
+    # dispatch-bound time
+    def cont(carry):
+        _, _, it, step = carry
+        return (it < num_iters) & (step > 1e-5)
+
+    T, n_good, _, _ = jax.lax.while_loop(
+        cont, gn_iter, (T_cur_ref, jnp.int32(0), jnp.int32(0),
+                        jnp.float32(1e9)))
     return T, n_good
 
 
@@ -174,30 +197,43 @@ def align2d(img_cur, ref_patches, uv_init, mask,
     reference solves with a precomputed 3x3 Hessian
     (/root/reference/src/Align.cc:8-104), but all M points at once.
     """
-    offs = _patch_offsets(half)  # [P, 2]
     M = uv_init.shape[0]
+    margin = 5  # search slack around the initial position (px, this level)
 
-    def gn_iter(_, carry):
-        uv, dm, last_step = carry
-        pix = uv[:, None, :] + offs[None, :, :]
-        val, gu, gv, vis = bilinear_sample_with_grad(img_cur, pix)
+    blocks, corner, blk_valid = gather_anchored_blocks(
+        img_cur, uv_init, half, margin)
+    center = corner + (half + margin)
+
+    def gn_iter(carry):
+        uv, dm, last_step, it = carry
+        val, gu, gv, in_range = sample_blocks_shifted(
+            blocks, uv - center, half, margin, with_grad=True)
         r = val - ref_patches - dm[:, None]             # [M, P]
-        w = vis.astype(jnp.float32) * mask[:, None]
+        w = (in_range & blk_valid & mask)[:, None].astype(jnp.float32) \
+            * jnp.ones_like(r)
         J = jnp.stack([gu, gv, -jnp.ones_like(gu)], axis=-1)  # [M, P, 3]
         H = jnp.einsum("mpd,mpe,mp->mde", J, J, w)
         b = -jnp.einsum("mpd,mp,mp->md", J, r, w)
-        dx = jnp.linalg.solve(H + 1e-4 * jnp.eye(3), b[..., None])[..., 0]
+        dx = solve3x3(H + 1e-4 * jnp.eye(3), b)
         ok = jnp.all(jnp.isfinite(dx), axis=-1)
         dx = jnp.where(ok[:, None], dx, 0.0)
         uv = uv + dx[:, :2]
+        # keep the estimate inside the gathered window
+        uv = jnp.clip(uv, center - margin, center + margin)
         dm = dm + dx[:, 2]
         step = jnp.linalg.norm(dx[:, :2], axis=-1)
-        return uv, dm, step
+        return uv, dm, step, it + 1
 
-    uv, dm, last_step = jax.lax.fori_loop(
-        0, num_iters, gn_iter,
-        (uv_init, jnp.zeros((M,), jnp.float32), jnp.full((M,), 1e9, jnp.float32)))
-    converged = mask & (last_step < conv_eps)
+    def cont(carry):
+        _, _, step, it = carry
+        # stop when every lane converged or diverged-out-of-window
+        return (it < num_iters) & (jnp.max(step) > conv_eps)
+
+    uv, dm, last_step, _ = jax.lax.while_loop(
+        cont, gn_iter,
+        (uv_init, jnp.zeros((M,), jnp.float32),
+         jnp.full((M,), 1e9, jnp.float32), jnp.int32(0)))
+    converged = mask & blk_valid & (last_step < conv_eps)
     return uv, converged
 
 

@@ -48,13 +48,12 @@ def insert_keyframe(ms: MapState, slot, T_cw, timestamp, frame_id,
 
 
 def extract_patches(img_level, uv_level, side: int = MP_PATCH_SIDE):
-    """Sample [B, side*side] canonical patches centered at uv (level coords).
-    Center convention: patch pixel (side/2 - 0.5, side/2 - 0.5) == uv."""
-    r = jnp.arange(side, dtype=jnp.float32) - (side - 1) / 2.0
-    du = jnp.broadcast_to(r[None, :], (side, side)).reshape(-1)
-    dv = jnp.broadcast_to(r[:, None], (side, side)).reshape(-1)
-    pts = uv_level[:, None, :] + jnp.stack([du, dv], -1)[None]
-    return bilinear_sample(img_level, pts)
+    """Sample [B, side*side] canonical patches around uv (level coords),
+    block-gathered. Patch index j along u corresponds to image offset
+    j - side/2, i.e. the center uv sits at patch coordinate side/2."""
+    from ygz_tpu.ops.interp import sample_patch_grid
+    val, _ = sample_patch_grid(img_level, uv_level, side // 2)
+    return val
 
 
 def add_map_points(ms: MapState, slots, pos, desc, normal, min_d, max_d,
@@ -200,7 +199,7 @@ def warp_stored_patches(mp_patch, A_cur_ref, mp_level_scale,
     offs0 = offs[None] * search_level_scale[:, None, None]
     ref0 = jnp.einsum("mij,mpj->mpi", Ainv, offs0)       # ref level-0 offsets
     patch_coords = ref0 / mp_level_scale[:, None, None] \
-        + (MP_PATCH_SIDE - 1) / 2.0
+        + MP_PATCH_SIDE / 2.0
     patches2d = mp_patch.reshape(-1, MP_PATCH_SIDE, MP_PATCH_SIDE)
     return jax.vmap(bilinear_sample)(patches2d, patch_coords)  # [M, P]
 
