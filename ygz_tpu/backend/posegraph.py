@@ -51,21 +51,22 @@ def _linearize_edges(S_nodes, edges_i, edges_j, S_meas):
 
 def optimize_sim3_graph(S_nodes, node_mask, fixed_mask,
                         edges_i, edges_j, S_meas, edge_mask,
-                        num_iters: int = 12):
-    """Gauss-Newton on the Sim3 graph. S_nodes: dict of [K,...] arrays.
-    Returns optimized S_nodes."""
+                        num_iters: int = 20):
+    """Levenberg-Marquardt on the Sim3 graph (g2o uses LM with 20 iters,
+    /root/reference/src/Optimizer.cc:2380). S_nodes: dict of [K,...]
+    arrays. Returns optimized S_nodes."""
     K = S_nodes["s"].shape[0]
     free = node_mask & ~fixed_mask
     fvec = jnp.repeat(free, 7)
 
-    def gn_step(_, S):
+    def build(S):
         r, Ji, Jj = _linearize_edges(S, edges_i, edges_j, S_meas)
         w = edge_mask.astype(r.dtype)
+        cost = jnp.sum(jnp.sum(r * r, -1) * w)
         H = jnp.zeros((K * 7, K * 7))
         b = jnp.zeros((K * 7,))
 
         def blocks(idx_a, Ja, idx_b, Jb):
-            # H[a, b] += Ja^T Jb, scattered into the dense matrix
             blk = jnp.einsum("ead,eaf,e->edf", Ja, Jb, w)  # [E, 7, 7]
             ra = idx_a[:, None, None] * 7 + jnp.arange(7)[None, :, None]
             cb = idx_b[:, None, None] * 7 + jnp.arange(7)[None, None, :]
@@ -79,16 +80,32 @@ def optimize_sim3_graph(S_nodes, node_mask, fixed_mask,
                 H = H.at[ra, cb].add(blk)
 
         H = jnp.where(fvec[:, None] & fvec[None, :], H, 0.0)
-        H = H + jnp.diag(jnp.where(fvec, 1e-6, 1.0))
-        dx = jnp.linalg.solve(H, b)
+        return H, b, cost
+
+    def lm_step(_, carry):
+        S, mu, cost = carry
+        H, b, _ = build(S)
+        diag = jnp.maximum(jnp.diagonal(H), 1e-8)
+        Hd = H + jnp.diag(mu * diag) + jnp.diag(jnp.where(fvec, 0.0, 1.0))
+        dx = jnp.linalg.solve(Hd, b)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(K, 7)
         dx = jnp.where(free[:, None], dx, 0.0)
         S_new = lie.sim3_compose(lie.sim3_exp(dx), S)
-        return jax.tree.map(
+        S_new = jax.tree.map(
             lambda a, bn: jnp.where(
                 free.reshape((K,) + (1,) * (a.ndim - 1)), bn, a), S, S_new)
+        _, _, cost_new = build(S_new)
+        accept = cost_new < cost
+        S = jax.tree.map(
+            lambda a, bn: jnp.where(
+                jnp.reshape(accept, (1,) * a.ndim), bn, a), S, S_new)
+        mu = jnp.clip(jnp.where(accept, mu * 0.5, mu * 4.0), 1e-8, 1e4)
+        return S, mu, jnp.where(accept, cost_new, cost)
 
-    return jax.lax.fori_loop(0, num_iters, gn_step, S_nodes)
+    _, _, c0 = build(S_nodes)
+    S, _, _ = jax.lax.fori_loop(0, num_iters, lm_step,
+                                (S_nodes, jnp.float32(1e-4), c0))
+    return S
 
 
 def optimize_essential_graph(ms, loop_a: int, loop_b: int,

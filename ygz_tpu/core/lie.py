@@ -317,42 +317,31 @@ def se3_from_sim3(S):
 
 
 # 7-dof tangent [rho, phi, sigma] for sim3 pose-graph optimization
+
+def _sim3_W(phi, sigma, n_terms: int = 16):
+    """Translation mixing matrix of the Sim3 exponential:
+    t = W(phi, sigma) rho with W = sum_n A^n / (n+1)!, A = sigma I + hat(phi)
+    (solution of x' = A x + rho). Evaluated as a TRUNCATED SERIES, which is
+    branch-free and therefore exactly differentiable by AD everywhere —
+    closed-form variants switch branches at sigma=0 / theta=0, precisely
+    where pose-graph optimization linearizes, and jnp.where branches give
+    zero derivatives there. For |phi| <= pi, |sigma| <= 1 the series hits
+    float32 precision well before 16 terms."""
+    A = hat(phi) + sigma[..., None, None] * jnp.eye(3, dtype=phi.dtype)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), A.shape)
+    W = I
+    term = I
+    for n in range(1, n_terms):
+        term = (term @ A) / (n + 1.0)
+        W = W + term
+    return W
+
+
 def sim3_exp(xi):
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     q = so3_exp(phi)
     s = jnp.exp(sigma)
-    # W matrix (closed form is messy); use the series-safe construction via
-    # numerical integration-free formula from Strasdat's thesis.
-    theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
-    K = hat(phi)
-    KK = K @ K
-    eps_s = jnp.abs(sigma) < 1e-5
-    eps_t = theta2 < 1e-8
-
-    A = jnp.where(
-        eps_s, jnp.where(eps_t, 0.5, _safe_div(1.0 - jnp.cos(theta), theta2)),
-        jnp.where(
-            eps_t,
-            _safe_div((sigma - 1.0) * s + 1.0, sigma * sigma),
-            _safe_div(s * jnp.sin(theta) * sigma + (1.0 - s * jnp.cos(theta)) * theta,
-                      (sigma * sigma + theta2) * theta),
-        ),
-    )
-    B = jnp.where(
-        eps_s,
-        jnp.where(eps_t, 1.0 / 6.0, _safe_div(theta - jnp.sin(theta), theta2 * theta)),
-        jnp.where(
-            eps_t,
-            _safe_div(s * 0.5 * sigma * sigma + s - 1.0 - sigma * s, sigma ** 3),
-            (_safe_div((s * jnp.cos(theta) - 1.0) * sigma + s * jnp.sin(theta) * theta,
-                       (sigma * sigma + theta2) * theta2)
-             + _safe_div(s - 1.0, sigma * theta2)),
-        ),
-    )
-    C = jnp.where(eps_s, 1.0, _safe_div(s - 1.0, sigma))
-    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
-    W = C[..., None, None] * I + A[..., None, None] * K + B[..., None, None] * KK
+    W = _sim3_W(phi, sigma)
     t = jnp.einsum("...ij,...j->...i", W, rho)
     return {"q": q, "t": t, "s": s}
 
@@ -360,14 +349,6 @@ def sim3_exp(xi):
 def sim3_log(S):
     phi = so3_log(S["q"])
     sigma = jnp.log(jnp.maximum(S["s"], _EPS))
-    # invert W numerically (3x3 solve) — exact and cheap
-    xi_probe = jnp.concatenate([jnp.zeros_like(phi), phi, sigma[..., None]], axis=-1)
-    # Build W by re-running the exp's W construction with rho = I columns
-    I3 = jnp.eye(3, dtype=phi.dtype)
-    def col(e):
-        xi = jnp.concatenate([jnp.broadcast_to(e, phi.shape), phi, sigma[..., None]], axis=-1)
-        return sim3_exp(xi)["t"]
-    W = jnp.stack([col(I3[0]), col(I3[1]), col(I3[2])], axis=-1)
+    W = _sim3_W(phi, sigma)
     rho = jnp.linalg.solve(W, S["t"][..., None])[..., 0]
-    del xi_probe
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
