@@ -29,7 +29,38 @@ def make_texture(seed=0, size=(640, 900)):
     return (tex / max(tex.max(), 1e-6) * 255.0).astype(np.float32)
 
 
-def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z):
+_FG_CACHE = {}
+
+
+def _fg_layer(seed):
+    """Foreground occupancy + texture for the near plane: blobby solid
+    patches covering ~40% of the area."""
+    if seed not in _FG_CACHE:
+        rng = np.random.RandomState(seed + 1000)
+        from scipy.ndimage import gaussian_filter
+        occ = gaussian_filter(rng.rand(640, 900).astype(np.float32), 18.0)
+        occ = (occ > np.percentile(occ, 60)).astype(np.float32)
+        occ = gaussian_filter(occ, 1.0)
+        tex = make_texture(seed + 2000)
+        _FG_CACHE[seed] = (occ, tex)
+    return _FG_CACHE[seed]
+
+
+def _plane_hit(tex, T_wc_origin, dirs, plane_z, tex_shape):
+    tt = (plane_z - T_wc_origin[2]) / dirs[:, 2]
+    pw = T_wc_origin[None, :] + tt[:, None] * dirs
+    texel = jnp.stack([pw[:, 0] * TEX_SCALE + tex_shape[1] / 2,
+                       pw[:, 1] * TEX_SCALE + tex_shape[0] / 2], -1)
+    return texel, tt
+
+
+def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
+           seed: int = 0, three_d: bool = True):
+    """Render the synthetic world: a textured background plane at
+    `plane_z` plus (three_d) a partially-occupied foreground plane at
+    2/3 of that depth — a pure plane is degenerate for monocular SfM
+    (global flex modes stay observation-consistent), so e2e tests need
+    real depth structure."""
     H, W = cam.height, cam.width
     us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
                          np.arange(H, dtype=np.float32))
@@ -39,12 +70,18 @@ def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z):
     T_wc = lie.se3_inverse(T_cw)
     origin = T_wc["t"]
     dirs = lie.quat_rotate(T_wc["q"], rays)
-    tt = (plane_z - origin[2]) / dirs[:, 2]
-    pw = origin[None, :] + tt[:, None] * dirs
-    texel = jnp.stack([pw[:, 0] * TEX_SCALE + tex.shape[1] / 2,
-                       pw[:, 1] * TEX_SCALE + tex.shape[0] / 2], -1)
-    img = bilinear_sample(jnp.asarray(tex), texel).reshape(H, W)
-    return np.asarray(img)
+
+    texel_bg, _ = _plane_hit(tex, origin, dirs, plane_z, tex.shape)
+    img = bilinear_sample(jnp.asarray(tex), texel_bg)
+    if three_d:
+        occ, fg_tex = _fg_layer(seed)
+        texel_fg, tt = _plane_hit(fg_tex, origin, dirs, plane_z * 2.0 / 3.0,
+                                  fg_tex.shape)
+        fg_val = bilinear_sample(jnp.asarray(fg_tex), texel_fg)
+        fg_occ = bilinear_sample(jnp.asarray(occ), texel_fg)
+        hit = (fg_occ > 0.5) & (tt > 0)
+        img = jnp.where(hit, fg_val, img)
+    return np.asarray(img.reshape(H, W))
 
 
 def orbit_trajectory(n_frames: int, dt: float = 0.1):

@@ -17,18 +17,20 @@ DT = 0.005  # 200 Hz
 
 
 def simulate_trajectory(n_steps, seed=0, bg=np.zeros(3), ba=np.zeros(3),
-                        noise=0.0):
+                        noise=0.0, amp=1.0):
     """Simulate a smooth 3D trajectory; return ground-truth states at each
-    step plus IMU measurements (with optional bias/noise)."""
+    step plus IMU measurements (with optional bias/noise). `amp` scales
+    the translational excitation."""
     rng = np.random.RandomState(seed)
     t = np.arange(n_steps) * DT
     # analytic position and orientation
-    P = np.stack([0.6 * np.sin(1.1 * t), 0.4 * np.sin(0.9 * t + 1.0),
-                  0.3 * np.sin(0.7 * t)], 1)
-    V = np.stack([0.66 * np.cos(1.1 * t), 0.36 * np.cos(0.9 * t + 1.0),
-                  0.21 * np.cos(0.7 * t)], 1)
-    A = np.stack([-0.726 * np.sin(1.1 * t), -0.324 * np.sin(0.9 * t + 1.0),
-                  -0.147 * np.sin(0.7 * t)], 1)
+    P = amp * np.stack([0.6 * np.sin(1.1 * t), 0.4 * np.sin(0.9 * t + 1.0),
+                        0.3 * np.sin(0.7 * t)], 1)
+    V = amp * np.stack([0.66 * np.cos(1.1 * t), 0.36 * np.cos(0.9 * t + 1.0),
+                        0.21 * np.cos(0.7 * t)], 1)
+    A = amp * np.stack([-0.726 * np.sin(1.1 * t),
+                        -0.324 * np.sin(0.9 * t + 1.0),
+                        -0.147 * np.sin(0.7 * t)], 1)
     yaw = 0.3 * np.sin(0.5 * t)
     pitch = 0.2 * np.sin(0.4 * t + 0.5)
     omega_w = np.stack([0.08 * np.cos(0.4 * t + 0.5) * 0 +

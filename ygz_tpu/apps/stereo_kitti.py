@@ -1,0 +1,20 @@
+"""Stereo KITTI driver (reference Examples/Stereo/stereo_kitti.cc)."""
+
+from ygz_tpu.apps import runner
+from ygz_tpu.pipeline.system import System, STEREO
+from ygz_tpu.utils import datasets
+from ygz_tpu.utils.config import load_config
+
+
+def main(argv=None):
+    args = runner.make_parser("stereo_kitti").parse_args(argv)
+    cfg = load_config(args.settings)
+    sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
+                  sensor=STEREO, use_loop_closing=not args.no_loop)
+    frames = datasets.load_kitti_stereo(args.sequence)
+    runner.run_sequence(sys_, frames, args,
+                        lambda s, it: s.track_stereo(it[1], it[2], it[0]))
+
+
+if __name__ == "__main__":
+    main()

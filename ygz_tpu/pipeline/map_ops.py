@@ -238,7 +238,8 @@ def search_local_points_direct(ms: MapState, cand_idx, T_cw, pyr_cur,
     scale_ok = (dist >= 0.8 * ms.mp_min_dist[cand_idx]) & \
                (dist <= 1.2 * ms.mp_max_dist[cand_idx])
     view = (pos - _cam_center(T_cw)[None])
-    view = view / jnp.maximum(jnp.linalg.norm(view, -1, keepdims=True), 1e-9)
+    view = view / jnp.maximum(
+        jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
     cos_view = jnp.sum(view * ms.mp_normal[cand_idx], axis=-1)
     valid = valid & in_img & scale_ok & (cos_view > 0.5)
 

@@ -42,7 +42,11 @@ class System:
                                                L=cfg.vocab_L)
         self.vocab = vocab
         self.mapper = LocalMapping(cfg)
-        self.tracker = Tracker(cfg, vocab, mapper=self.mapper)
+        if cfg.use_imu:
+            from ygz_tpu.pipeline.vio import VioTracker
+            self.tracker = VioTracker(cfg, vocab, mapper=self.mapper)
+        else:
+            self.tracker = Tracker(cfg, vocab, mapper=self.mapper)
         self.localization_only = False
         self.loop_closer = None
         if use_loop_closing and not cfg.use_imu:

@@ -580,9 +580,12 @@ class Tracker:
         frames_since = fr.frame_id - self.last_kf_frame_id
         ref_obs = int(jnp.sum((self.ms.kf_mp_idx[self.ref_kf] >= 0)
                               & self.ms.kf_feat_mask[self.ref_kf]))
-        weak = self.last_inliers < 0.6 * ref_obs
+        # reference uses mnMatchesInliers < nRefMatches*0.9 (Tracking.cc:
+        # 1420-1428); react early so tracked-point count never decays to
+        # the failure floor between keyframes
+        weak = self.last_inliers < 0.8 * ref_obs
         long_gap = frames_since >= max(3, int(cfg.fps))
-        recent = frames_since < 1
+        recent = frames_since < 2
         return (not recent) and (weak or long_gap) and self.last_inliers > 30
 
     def _create_new_keyframe(self, fr):
@@ -598,10 +601,16 @@ class Tracker:
                                     desc=None, feat_mask=None), cfg)
             self._copy_frame_fields(fr, fr2)
             # re-associate direct-tracked map points to extracted features
-            # by projection proximity (<2px, same level +-1)
-            fr.mp_idx = _reassociate(
-                direct_uv, direct_mp, direct_mask, fr.uv, fr.level,
-                fr.feat_mask, cfg.n_features)
+            # by projection proximity; direct points with no nearby corner
+            # become features of their own with descriptors computed at
+            # their aligned positions — the reference does the same by
+            # describing pre-existing keypoints in ORBextractor
+            # (/root/reference/src/ORBextractor.cc:1031-1127)
+            (fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
+             fr.mp_idx) = _merge_direct_features(
+                direct_uv, direct_mp, direct_mask,
+                fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
+                fr.pyramid, cfg)
 
         slot = self.n_kf
         self.ms = self._insert_kf_from_frame(fr, slot, fr.mp_idx)
@@ -618,7 +627,7 @@ class Tracker:
 def _reassociate(direct_uv, direct_mp, direct_mask, kp_uv, kp_level,
                  kp_mask, n_features: int):
     """Bind direct-tracked map points to freshly extracted keypoints by
-    nearest-neighbor proximity (<3 px)."""
+    nearest-neighbor proximity (<3 px). Returns (mp_idx [N], matched [C])."""
     d = jnp.sum((direct_uv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
     feas = direct_mask[:, None] & kp_mask[None, :] & (direct_mp >= 0)[:, None]
     d = jnp.where(feas, d, 1e12)
@@ -627,7 +636,45 @@ def _reassociate(direct_uv, direct_mp, direct_mask, kp_uv, kp_level,
     ok = bd < 9.0
     out = jnp.full((n_features,), -1, jnp.int32)
     out = out.at[jnp.where(ok, best, n_features)].set(direct_mp, mode="drop")
-    return out
+    return out, ok
+
+
+def _merge_direct_features(direct_uv, direct_mp, direct_mask,
+                           kp_uv, kp_level, kp_angle, kp_desc, kp_mask,
+                           pyr, cfg, max_carry: int = 256):
+    """KF-creation feature table for a direct-tracked frame: extracted
+    keypoints, with direct-tracked map points either re-associated to a
+    nearby corner or appended as described features in the table's tail
+    slots (overwriting the weakest detections)."""
+    from ygz_tpu.ops import orb, pyramid as pyr_mod
+
+    N = cfg.n_features
+    mp_idx, matched = _reassociate(direct_uv, direct_mp, direct_mask,
+                                   kp_uv, kp_level, kp_mask, N)
+    leftover = direct_mask & (direct_mp >= 0) & ~matched
+    n_left = int(jnp.sum(leftover))
+    if n_left == 0:
+        return kp_uv, kp_level, kp_angle, kp_desc, kp_mask, mp_idx
+
+    idx = np.where(np.asarray(leftover))[0][:max_carry]
+    C = len(idx)
+    uv_d = direct_uv[jnp.asarray(idx)]
+    # direct matches carry their search level; descriptors need the blurred
+    # image of that level
+    lvl_d = jnp.zeros((C,), jnp.int32)  # level-0 describe (aligned at lvl0-ish)
+    blurred0 = pyr_mod.gaussian_blur(pyr[0])
+    ang_d = orb.compute_orientations(blurred0, uv_d, jnp.ones(C, bool))
+    desc_d = orb.compute_descriptors(blurred0, uv_d, ang_d,
+                                     jnp.ones(C, bool))
+    # overwrite the tail (weakest) feature slots
+    tail = jnp.arange(N - C, N)
+    kp_uv = kp_uv.at[tail].set(uv_d)
+    kp_level = kp_level.at[tail].set(lvl_d)
+    kp_angle = kp_angle.at[tail].set(ang_d)
+    kp_desc = kp_desc.at[tail].set(desc_d)
+    kp_mask = kp_mask.at[tail].set(True)
+    mp_idx = mp_idx.at[tail].set(direct_mp[jnp.asarray(idx)])
+    return kp_uv, kp_level, kp_angle, kp_desc, kp_mask, mp_idx
 
 
 def _normals_from(pos_w, T_cw):
