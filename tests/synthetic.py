@@ -54,6 +54,46 @@ def _plane_hit(tex, T_wc_origin, dirs, plane_z, tex_shape):
     return texel, tt
 
 
+def render_with_depth(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
+                      seed: int = 0):
+    """Like render(three_d=True) but also returns the depth map (camera-z)."""
+    H, W = cam.height, cam.width
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    xn = (us - cam.cx) / cam.fx
+    yn = (vs - cam.cy) / cam.fy
+    rays = jnp.asarray(np.stack([xn, yn, np.ones_like(xn)], -1).reshape(-1, 3))
+    T_wc = lie.se3_inverse(T_cw)
+    origin = T_wc["t"]
+    dirs = lie.quat_rotate(T_wc["q"], rays)
+
+    texel_bg, tt_bg = _plane_hit(tex, origin, dirs, plane_z, tex.shape)
+    img = bilinear_sample(jnp.asarray(tex), texel_bg)
+    depth = tt_bg  # rays have unit camera-z, so t == camera depth
+    occ, fg_tex = _fg_layer(seed)
+    texel_fg, tt_fg = _plane_hit(fg_tex, origin, dirs, plane_z * 2.0 / 3.0,
+                                 fg_tex.shape)
+    fg_val = bilinear_sample(jnp.asarray(fg_tex), texel_fg)
+    fg_occ = bilinear_sample(jnp.asarray(occ), texel_fg)
+    hit = (fg_occ > 0.5) & (tt_fg > 0)
+    img = jnp.where(hit, fg_val, img)
+    depth = jnp.where(hit, tt_fg, depth)
+    return (np.asarray(img.reshape(H, W)),
+            np.asarray(depth.reshape(H, W)))
+
+
+def render_stereo(tex, T_cw_left, baseline: float, cam: Camera = CAM,
+                  seed: int = 0):
+    """Rectified stereo pair: the right camera is offset +baseline along
+    the left camera's x axis."""
+    T_rl = lie.se3(lie.quat_identity(),
+                   jnp.asarray(np.array([-baseline, 0, 0], np.float32)))
+    T_cw_right = lie.se3_compose(T_rl, T_cw_left)
+    left = render(tex, T_cw_left, cam=cam, seed=seed)
+    right = render(tex, T_cw_right, cam=cam, seed=seed)
+    return left, right
+
+
 def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
            seed: int = 0, three_d: bool = True):
     """Render the synthetic world: a textured background plane at

@@ -1,0 +1,125 @@
+"""Auxiliary subsystem tests: map checkpoint/restore, offline viewer,
+config parsing, trajectory export formats."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ygz_tpu.pipeline.system import System, RGBD
+from ygz_tpu.utils import checkpoint, viewer
+from ygz_tpu.utils.config import load_config
+
+import synthetic
+from test_e2e_stereo_rgbd import stereo_config
+
+
+@pytest.fixture(scope="module")
+def small_map(tmp_path_factory):
+    cfg = stereo_config()
+    tex = synthetic.make_texture(7)
+    traj = synthetic.orbit_trajectory(8)
+    sys_ = System(cfg, sensor=RGBD, use_loop_closing=False)
+    frames = []
+    for ts, T_cw in traj:
+        img, depth = synthetic.render_with_depth(tex, T_cw, seed=7)
+        sys_.track_rgbd(img, depth, ts)
+        frames.append(sys_.tracker.last_frame)
+    return cfg, sys_, frames
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, small_map, tmp_path):
+        cfg, sys_, frames = small_map
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(p, sys_.tracker)
+        assert os.path.getsize(p) > 1000
+
+        sys2 = System(cfg, sensor=RGBD, use_loop_closing=False)
+        checkpoint.load_map(p, sys2.tracker)
+        assert sys2.tracker.n_kf == sys_.tracker.n_kf
+        np.testing.assert_array_equal(np.asarray(sys2.tracker.ms.mp_mask),
+                                      np.asarray(sys_.tracker.ms.mp_mask))
+        np.testing.assert_allclose(np.asarray(sys2.tracker.ms.kf_t),
+                                   np.asarray(sys_.tracker.ms.kf_t))
+
+    def test_relocalize_in_loaded_map(self, small_map, tmp_path):
+        """Localization-only mode against a restored map: a frame from the
+        mapped area must relocalize."""
+        cfg, sys_, frames = small_map
+        p = str(tmp_path / "map2.npz")
+        checkpoint.save_map(p, sys_.tracker)
+        sys2 = System(cfg, sensor=RGBD, use_loop_closing=False)
+        checkpoint.load_map(p, sys2.tracker)
+        sys2.activate_localization_mode()
+        tex = synthetic.make_texture(7)
+        traj = synthetic.orbit_trajectory(8)
+        ts, T_cw = traj[3]
+        img, depth = synthetic.render_with_depth(tex, T_cw, seed=7)
+        T = sys2.track_rgbd(img, depth, 100.0)
+        from ygz_tpu.pipeline import tracking
+        assert sys2.tracker.state == tracking.OK
+        from ygz_tpu.core import lie
+        err = lie.se3_log(lie.se3_compose(T, lie.se3_inverse(T_cw)))
+        assert float(jnp.linalg.norm(err)) < 0.05
+
+
+class TestViewer:
+    def test_draw_map(self, small_map, tmp_path):
+        cfg, sys_, frames = small_map
+        p = str(tmp_path / "map.png")
+        viewer.draw_map(sys_.tracker, p)
+        assert os.path.getsize(p) > 5000
+
+    def test_draw_frame(self, small_map, tmp_path):
+        cfg, sys_, frames = small_map
+        p = str(tmp_path / "frame.png")
+        viewer.draw_frame(frames[-1], p)
+        assert os.path.getsize(p) > 5000
+
+
+class TestConfig:
+    def test_parse_reference_yaml(self, tmp_path):
+        y = tmp_path / "test.yaml"
+        y.write_text("""%YAML:1.0
+Camera.fx: 458.654
+Camera.fy: 457.296
+Camera.cx: 367.215
+Camera.cy: 248.375
+Camera.k1: -0.28340811
+Camera.k2: 0.07395907
+Camera.p1: 0.00019359
+Camera.p2: 1.76187114e-05
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20.0
+Camera.bf: 47.90639384423901
+Camera.RGB: 1
+ThDepth: 35
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+Tracking.CacheFeatures: 150
+LocalMapping.LocalWindowSize: 10
+bUseIMU: 1
+test.VINSInitTime: 15.0
+Camera.Tbc: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975,
+          0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768,
+          -0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949,
+          0.0, 0.0, 0.0, 1.0]
+""")
+        cfg = load_config(str(y))
+        assert abs(cfg.camera.fx - 458.654) < 1e-6
+        assert cfg.n_features == 1000
+        assert cfg.use_imu
+        assert cfg.Tbc is not None and cfg.Tbc.shape == (4, 4)
+        assert abs(cfg.Tbc[1, 0] - 0.999557249008) < 1e-9
+        assert cfg.camera.has_distortion

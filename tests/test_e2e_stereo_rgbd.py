@@ -1,0 +1,89 @@
+"""End-to-end stereo and RGB-D SLAM on the synthetic 3D world: both
+sensors give metric depth, so the trajectory must be accurate WITHOUT
+scale alignment (unlike mono) and initialization must be immediate."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ygz_tpu.core import lie
+from ygz_tpu.eval import ate
+from ygz_tpu.pipeline import tracking
+from ygz_tpu.pipeline.system import System, RGBD, STEREO
+
+import synthetic
+from test_e2e_mono import small_config
+
+BASELINE = 0.3
+
+
+def stereo_config():
+    cfg = small_config()
+    cam = cfg.camera._replace(bf=BASELINE * cfg.camera.fx, th_depth=35.0)
+    return dataclasses.replace(cfg, camera=cam)
+
+
+@pytest.fixture(scope="module")
+def rgbd_run():
+    cfg = stereo_config()
+    tex = synthetic.make_texture(5)
+    traj_gt = synthetic.orbit_trajectory(30)
+    sys_ = System(cfg, sensor=RGBD, use_loop_closing=False)
+    gt = []
+    for ts, T_cw in traj_gt:
+        img, depth = synthetic.render_with_depth(tex, T_cw, seed=5)
+        sys_.track_rgbd(img, depth, ts)
+        gt.append((ts, np.asarray(lie.se3_matrix(lie.se3_inverse(T_cw)))))
+    return cfg, sys_, gt
+
+
+@pytest.fixture(scope="module")
+def stereo_run():
+    cfg = stereo_config()
+    tex = synthetic.make_texture(6)
+    traj_gt = synthetic.orbit_trajectory(30)
+    sys_ = System(cfg, sensor=STEREO, use_loop_closing=False)
+    gt = []
+    for ts, T_cw in traj_gt:
+        left, right = synthetic.render_stereo(tex, T_cw, BASELINE, seed=6)
+        sys_.track_stereo(left, right, ts)
+        gt.append((ts, np.asarray(lie.se3_matrix(lie.se3_inverse(T_cw)))))
+    return cfg, sys_, gt
+
+
+class TestRGBD:
+    def test_immediate_initialization(self, rgbd_run):
+        cfg, sys_, gt = rgbd_run
+        # depth sensors initialize on the first frame, no baseline needed
+        first_ok = next(i for i, r in enumerate(sys_.tracker.trajectory)
+                        if not r.get("lost"))
+        assert first_ok == 0
+
+    def test_metric_trajectory(self, rgbd_run):
+        cfg, sys_, gt = rgbd_run
+        est = sys_.get_trajectory()
+        res = ate.ate_rmse(est, gt, with_scale=False, max_dt=0.05)
+        assert res["n_pairs"] >= 25
+        # metric (SE3-aligned, no scale): depth is direct so cm-accuracy
+        assert res["rmse"] < 0.06, res
+        res7 = ate.ate_rmse(est, gt, with_scale=True, max_dt=0.05)
+        assert abs(res7["scale"] - 1.0) < 0.05, res7
+
+    def test_stays_ok(self, rgbd_run):
+        cfg, sys_, gt = rgbd_run
+        assert sys_.tracker.state == tracking.OK
+
+
+class TestStereo:
+    def test_tracks_and_metric(self, stereo_run):
+        cfg, sys_, gt = stereo_run
+        assert sys_.tracker.state == tracking.OK
+        est = sys_.get_trajectory()
+        res = ate.ate_rmse(est, gt, with_scale=False, max_dt=0.05)
+        assert res["n_pairs"] >= 25
+        # stereo depth is SAD-matched (noisier than RGB-D) but still metric
+        assert res["rmse"] < 0.12, res
+        res7 = ate.ate_rmse(est, gt, with_scale=True, max_dt=0.05)
+        assert abs(res7["scale"] - 1.0) < 0.1, res7

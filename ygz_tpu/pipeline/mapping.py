@@ -50,9 +50,37 @@ class LocalMapping:
             self._fuse_neighbors(tracker, slot)
         if tracker.n_kf >= 3:
             self._local_ba(tracker, slot)
+            self._cull_keyframes(tracker, slot)
         tracker.ms = map_ops.refresh_map_points(
             tracker.ms, jnp.ones((cfg.max_map_points,), bool),
             cfg.scale_factor, cfg.n_levels)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, tracker, slot: int):
+        """Reference KeyFrameCulling (/root/reference/src/LocalMapping.cc:
+        1419-1500): a covisible KF is redundant if >=90% of its map points
+        are observed by at least 3 other keyframes. The reference's VIO
+        guards (keep the last-N chain, >=0.15 s gaps) apply when IMU is on
+        — the temporal preintegration chain must stay contiguous, so VIO
+        mode skips culling entirely here (conservative superset of the
+        reference's rule)."""
+        if getattr(tracker, "vins_inited", False) or self.cfg.use_imu:
+            return
+        ms = tracker.ms
+        obs_count = np.asarray(ms.mp_obs_count)
+        for k in self._covisible(tracker, slot, 10):
+            if k == slot or k == tracker.ref_kf or k <= 1:
+                continue
+            mp = np.asarray(ms.kf_mp_idx[k])
+            valid = (mp >= 0) & np.asarray(ms.kf_feat_mask[k])
+            ids = mp[valid]
+            if len(ids) < 20:
+                continue
+            redundant = (obs_count[ids] >= 4).mean()
+            if redundant > 0.9:
+                tracker.ms = _kill_keyframe(tracker.ms, k)
+                tracker.ms = map_ops.bind_observations(tracker.ms)
+                break  # at most one per round, like the reference's pacing
 
     # ------------------------------------------------------------------
     def _cull_map_points(self, tracker):
@@ -438,6 +466,18 @@ def _kill_map_points(ms, ids):
     is_dead = dead[jnp.where(idx >= 0, idx, 0)] & (idx >= 0)
     kf_mp_idx = jnp.where(is_dead, -1, idx)
     return dataclasses.replace(ms, mp_mask=mp_mask, kf_mp_idx=kf_mp_idx)
+
+
+@jax.jit
+def _kill_keyframe(ms, k):
+    """Remove a redundant keyframe: mask the slot, drop its observations.
+    (Parent/spanning-tree reassignment is implicit: the temporal chain and
+    covisibility are recomputed from the arrays.)"""
+    return dataclasses.replace(
+        ms,
+        kf_mask=ms.kf_mask.at[k].set(False),
+        kf_feat_mask=ms.kf_feat_mask.at[k].set(False),
+        kf_mp_idx=ms.kf_mp_idx.at[k].set(-1))
 
 
 @jax.jit

@@ -25,24 +25,31 @@ from ygz_tpu.matching import search, vocabulary
 from ygz_tpu.pipeline import frame as frame_mod
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp",))
-def pnp_ransac(pts_w, uv, mask, K, n_hyp: int = 128, seed: int = 0,
-               inlier_px: float = 5.0):
+@functools.partial(jax.jit, static_argnames=("n_hyp", "n_sample"))
+def pnp_ransac(pts_w, uv, mask, K, n_hyp: int = 192, seed: int = 0,
+               inlier_px: float = 5.0, n_sample: int = 12):
     """Batched DLT-PnP RANSAC. pts_w [N,3], uv [N,2] -> (R [3,3], t [3],
-    inliers [N], n_inliers). Needs >= 6 valid correspondences."""
+    inliers [N], n_inliers). Needs >= 6 valid correspondences.
+
+    Samples are deliberately LARGER than minimal (12 vs 6): DLT-PnP is
+    degenerate for coplanar points, and SLAM maps are often
+    plane-dominant; an oversampled hypothesis stays well-conditioned
+    whenever >= 2 off-plane points land in it, at a small robustness cost
+    that the post-ratio-test inlier rate easily affords (EPnP's control
+    points solve this differently; same recall, messier batching)."""
     N = pts_w.shape[0]
     key = jax.random.PRNGKey(seed)
     logits = jnp.where(mask, 0.0, -1e9)
     samp = jax.random.categorical(key, logits[None, None, :], axis=-1,
-                                  shape=(n_hyp, 6))
+                                  shape=(n_hyp, n_sample))
 
     # normalized image coords
     Kinv = jnp.linalg.inv(K)
     uvh = jnp.concatenate([uv, jnp.ones((N, 1))], axis=1) @ Kinv.T
     xn = uvh[:, :2]
 
-    X = pts_w[samp]          # [B, 6, 3]
-    x = xn[samp]             # [B, 6, 2]
+    X = pts_w[samp]          # [B, n_sample, 3]
+    x = xn[samp]             # [B, n_sample, 2]
 
     # DLT rows: for P = [R|t] (3x4, normalized coords):
     # x*(p3 . Xh) - (p1 . Xh) = 0 ; y*(p3 . Xh) - (p2 . Xh) = 0
@@ -54,15 +61,20 @@ def pnp_ransac(pts_w, uv, mask, K, n_hyp: int = 128, seed: int = 0,
     _, _, vt = jnp.linalg.svd(A)
     P = vt[:, -1, :].reshape(-1, 3, 4)
 
-    # extract R, t: orthogonalize the left 3x3 via SVD, fix sign/scale
+    # the homogeneous solution is P = alpha [R|t] with arbitrary-sign
+    # alpha; normalize to alpha > 0 first (det(M3) = alpha^3 det(R)),
+    # otherwise orthogonalizing -alpha R produces a non-rotation
+    M3 = P[:, :, :3]
+    sgn = jnp.sign(jnp.linalg.det(M3))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    P = P * sgn[:, None, None]
     M3 = P[:, :, :3]
     u, s, vt2 = jnp.linalg.svd(M3)
     det = jnp.linalg.det(u @ vt2)
     D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
     R = u @ (D[..., None] * vt2)
-    scale = jnp.mean(s, axis=-1) * jnp.sign(det)
-    # also the whole P sign is fixed by requiring positive depths below
-    t = P[:, :, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)[:, None]
+    scale = jnp.maximum(jnp.mean(s, axis=-1), 1e-12)
+    t = P[:, :, 3] / scale[:, None]
 
     def score(Rb, tb):
         pc = jnp.einsum("bij,nj->bni", Rb, pts_w) + tb[:, None, :]
@@ -74,14 +86,8 @@ def pnp_ransac(pts_w, uv, mask, K, n_hyp: int = 128, seed: int = 0,
         inl = good_z & (err < inlier_px ** 2) & mask[None, :]
         return inl
 
-    inl_a = score(R, t)
-    inl_b = score(R, -t)  # sign ambiguity from the homogeneous solve
-    na = jnp.sum(inl_a, axis=1)
-    nb = jnp.sum(inl_b, axis=1)
-    use_b = nb > na
-    inl = jnp.where(use_b[:, None], inl_b, inl_a)
-    t = jnp.where(use_b[:, None], -t, t)
-    n = jnp.maximum(na, nb)
+    inl = score(R, t)
+    n = jnp.sum(inl, axis=1)
     best = jnp.argmax(n)
     return R[best], t[best], inl[best], n[best]
 

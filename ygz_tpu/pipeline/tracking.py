@@ -106,7 +106,12 @@ class Tracker:
             self.state = NOT_INITIALIZED
 
         if self.state == NOT_INITIALIZED:
-            self._monocular_initialization(fr)
+            has_depth = (fr.depth is not None
+                         and int(jnp.sum(fr.depth > 0)) >= 100)
+            if has_depth:
+                self._stereo_initialization(fr)
+            else:
+                self._monocular_initialization(fr)
         else:
             self._track_frame(fr)
 
@@ -128,6 +133,70 @@ class Tracker:
     # ------------------------------------------------------------------
     # initialization
     # ------------------------------------------------------------------
+    def _stereo_initialization(self, fr: frame_mod.Frame):
+        """Stereo/RGB-D bootstrap: the first frame with enough depth
+        becomes KF0 and its close features become map points directly
+        (reference StereoInitialization, /root/reference/src/Tracking.cc:
+        661-709)."""
+        cfg = self.cfg
+        fr.T_cw = lie.se3_identity()
+        self.ms = self._insert_kf_from_frame(
+            fr, 0, jnp.full((cfg.n_features,), -1, jnp.int32))
+        self.n_kf = 1
+        self.ref_kf = 0
+        self._create_depth_map_points(fr, 0)
+        fr.mp_idx = self.ms.kf_mp_idx[0]
+        self.ms = map_ops.bind_observations(self.ms)
+        self.ms = map_ops.refresh_map_points(
+            self.ms, jnp.ones((cfg.max_map_points,), bool),
+            cfg.scale_factor, cfg.n_levels)
+        self.state = OK
+        self.velocity = None
+        self.last_kf_frame_id = fr.frame_id
+        self._rebuild_direct_cache()
+        if self.mapper is not None:
+            self.mapper.on_new_keyframe(self, 0, fr)
+
+    def _create_depth_map_points(self, fr, slot: int, max_new: int = 512):
+        """Create map points from stereo/RGB-D depth for features without
+        one, closest-first (reference creates close points on KF insertion,
+        /root/reference/src/Tracking.cc:1468-1525)."""
+        cfg = self.cfg
+        cam = cfg.camera
+        close_th = cam.th_depth * cam.bf / cam.fx if cam.bf > 0 else 1e9
+        depth = fr.depth
+        bound = self.ms.kf_mp_idx[slot]
+        ok = (fr.feat_mask & (depth > 0) & (depth < close_th)
+              & (bound < 0))
+        okn = np.asarray(ok)
+        if okn.sum() == 0:
+            return
+        order = np.argsort(np.where(okn, np.asarray(depth), np.inf))
+        take = order[:min(int(okn.sum()), max_new)]
+        slots = self.alloc_mp_slots(len(take))
+        take = take[:len(slots)]
+        if len(slots) == 0:
+            return
+        f = jnp.asarray(take)
+        sl = jnp.asarray(slots)
+        from ygz_tpu.core.camera import unproject
+        pc = unproject(cam, fr.uv[f], depth[f])
+        T_wc = lie.se3_inverse(fr.T_cw)
+        pw = lie.se3_apply(T_wc, pc)
+        lvl = fr.level[f]
+        patches = self._patches_at_levels(fr.pyramid, fr.uv[f], lvl)
+        self.ms = map_ops.add_map_points(
+            self.ms, sl, pw, fr.desc[f], _normals_from(pw, fr.T_cw),
+            jnp.zeros((len(slots),)), jnp.full((len(slots),), 1e9),
+            jnp.full((len(slots),), slot, jnp.int32), lvl, patches,
+            jnp.full((len(slots),), slot, jnp.int32),
+            jnp.ones((len(slots),), bool))
+        self.ms = dataclasses.replace(
+            self.ms, kf_mp_idx=self.ms.kf_mp_idx.at[slot, f].set(sl))
+        if self.mapper is not None:
+            self.mapper.recent.extend(
+                (int(s), self.mapper.kf_count) for s in slots)
+
     def _monocular_initialization(self, fr: frame_mod.Frame):
         cfg = self.cfg
         fr2 = frame_mod.extract_features(fr, cfg)
@@ -615,6 +684,8 @@ class Tracker:
         slot = self.n_kf
         self.ms = self._insert_kf_from_frame(fr, slot, fr.mp_idx)
         self.n_kf += 1
+        if fr.depth is not None:
+            self._create_depth_map_points(fr, slot)
         self.ms = map_ops.bind_observations(self.ms)
         self.ref_kf = slot
         self.last_kf_frame_id = fr.frame_id
