@@ -58,6 +58,8 @@ def main():
     inv_s2 = jnp.ones((N_CACHE,))
     ur = jnp.full((N_CACHE,), -1.0)
 
+    on_tpu = jax.default_backend() == "tpu"
+
     @jax.jit
     def frame_step(raw_cur, pyr_ref, T_init):
         pyr_cur = pyramid.build_pyramid(raw_cur, n_levels, scale)
@@ -65,9 +67,15 @@ def main():
             T_init, pyr_ref, pyr_cur, uv, pts_ref, mask, cam, scales,
             max_level=n_levels - 1)
         uv_ref, conv = align.align2d(pyr_cur[0], ref_patches, uv_c, mask_c)
-        T2, inlier, n_in = ba.pose_optimization(
-            T, pts_c, uv_ref, ur, inv_s2, conv,
-            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        if on_tpu:
+            from ygz_tpu.ops import pallas_pose
+            T2, inlier, n_in = pallas_pose.pose_optimization_fused(
+                T, pts_c, uv_ref, inv_s2, conv,
+                cam.fx, cam.fy, cam.cx, cam.cy)
+        else:
+            T2, inlier, n_in = ba.pose_optimization(
+                T, pts_c, uv_ref, ur, inv_s2, conv,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
         return pyr_cur, T2["q"], T2["t"], n_in
 
     pyr_ref = pyramid.build_pyramid(img_ref, n_levels, scale)
