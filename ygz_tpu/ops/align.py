@@ -151,29 +151,50 @@ def sparse_align_level(T_cur_ref, img_cur, prob: SparseAlignProblem,
 
 def sparse_image_align(T_init, pyr_ref, pyr_cur, uv_ref0, points_ref, mask,
                        cam, scales, max_level: int, min_level: int = 0,
-                       num_iters: int = 10):
+                       num_iters: int = 10, use_pallas=None):
     """Coarse-to-fine sparse alignment over pyramid levels max->min
     (reference SparseImageAlign.cc:20-49; default levels 2..0 per
     /root/reference/src/Tracking.cc:207 SparseImgAlign(nLevels-1, 1)).
 
     uv_ref0: [N, 2] feature pixels at level 0 in the reference frame.
     points_ref: [N, 3] their 3D positions in the reference camera frame.
+    use_pallas: None = auto (fused kernel on TPU), False = XLA path,
+    "interpret" = fused kernel in interpreter mode (tests).
     Returns (T_cur_ref, n_tracked).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     T = T_init
     n_good = jnp.int32(0)
+    margin = 8
     for lvl in range(max_level, min_level - 1, -1):
         s = 1.0 / float(scales[lvl])
         uv_l = uv_ref0 * s
-        prob = SparseAlignProblem(
-            ref_patches=extract_ref_patches(pyr_ref[lvl], uv_l),
-            points_ref=points_ref,
-            mask=mask,
-        )
-        T, n_good = sparse_align_level(
-            T, pyr_cur[lvl], prob,
-            cam.fx * s, cam.fy * s, cam.cx * s, cam.cy * s,
-            num_iters=num_iters)
+        ref_patches = extract_ref_patches(pyr_ref[lvl], uv_l)
+        if use_pallas:
+            from ygz_tpu.core import lie as _lie
+            from ygz_tpu.ops import pallas_align
+            pc = _lie.se3_apply(T, points_ref)
+            u = cam.fx * s * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-3) \
+                + cam.cx * s
+            v = cam.fy * s * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-3) \
+                + cam.cy * s
+            blocks, corner, bv = gather_anchored_blocks(
+                pyr_cur[lvl], jnp.stack([u, v], -1), SPARSE_HALF_PATCH,
+                margin)
+            center = corner + (SPARSE_HALF_PATCH + margin)
+            T, n_good = pallas_align.sparse_align_level_fused(
+                T, blocks, ref_patches, points_ref, center, mask & bv,
+                cam.fx * s, cam.fy * s, cam.cx * s, cam.cy * s,
+                num_iters=num_iters, half=SPARSE_HALF_PATCH, margin=margin,
+                interpret=(use_pallas == "interpret"))
+        else:
+            prob = SparseAlignProblem(
+                ref_patches=ref_patches, points_ref=points_ref, mask=mask)
+            T, n_good = sparse_align_level(
+                T, pyr_cur[lvl], prob,
+                cam.fx * s, cam.fy * s, cam.cx * s, cam.cy * s,
+                num_iters=num_iters)
     return T, n_good
 
 
