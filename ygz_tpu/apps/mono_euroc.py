@@ -8,7 +8,7 @@ from ygz_tpu.utils.config import load_config
 
 def main(argv=None):
     args = runner.make_parser("mono_euroc").parse_args(argv)
-    cfg = load_config(args.settings)
+    cfg = load_config(args.settings, **runner.config_overrides(args))
     sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
                   sensor=MONOCULAR, use_loop_closing=not args.no_loop)
     frames = datasets.load_euroc_mono(args.sequence)

@@ -11,7 +11,7 @@ from ygz_tpu.utils.config import load_config
 
 def main(argv=None):
     args = runner.make_parser("mono_euroc_vins").parse_args(argv)
-    cfg = load_config(args.settings)
+    cfg = load_config(args.settings, **runner.config_overrides(args))
     cfg = dataclasses.replace(cfg, use_imu=True)
     sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
                   sensor=MONOCULAR, use_loop_closing=False)

@@ -34,7 +34,26 @@ def make_parser(name: str) -> argparse.ArgumentParser:
                    help="pace frames to their timestamps")
     p.add_argument("--no-loop", action="store_true",
                    help="disable loop closing")
+    p.add_argument("--max-kf", type=int, default=None,
+                   help="keyframe capacity (static shape)")
+    p.add_argument("--max-mp", type=int, default=None,
+                   help="map point capacity (static shape)")
+    p.add_argument("--detect-cell", type=int, default=None)
+    p.add_argument("--detect-per-cell", type=int, default=None)
     return p
+
+
+def config_overrides(args) -> dict:
+    out = {}
+    if args.max_kf:
+        out["max_keyframes"] = args.max_kf
+    if args.max_mp:
+        out["max_map_points"] = args.max_mp
+    if args.detect_cell:
+        out["detect_cell"] = args.detect_cell
+    if args.detect_per_cell:
+        out["detect_per_cell"] = args.detect_per_cell
+    return out
 
 
 def load_vocab(path: str, cfg):

@@ -13,7 +13,7 @@ from ygz_tpu.utils.config import load_config, _parse_opencv_yaml
 
 def main(argv=None):
     args = runner.make_parser("stereo_euroc").parse_args(argv)
-    cfg = load_config(args.settings)
+    cfg = load_config(args.settings, **runner.config_overrides(args))
     sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
                   sensor=STEREO, use_loop_closing=not args.no_loop)
 
