@@ -35,6 +35,7 @@ class LoopClosing:
         self.cfg = cfg
         self.consistency_th = consistency_th
         self.prev_groups: List[tuple] = []   # (set of KFs, consistency count)
+        self.group_grace = 0   # rounds an empty detection keeps groups alive
         self.last_loop_kf: int = -1000
         self.n_loops = 0
 
@@ -76,8 +77,16 @@ class LoopClosing:
                 cand_mask[k] = False
         candidates = np.where(cand_mask)[0]
         if len(candidates) == 0:
-            self.prev_groups = []
+            # one round of grace before dropping accumulated consistency:
+            # a single empty detection right before a revisit otherwise
+            # wipes the streak (the reference clears immediately;
+            # observed failure mode in the round-1 loop experiments)
+            if self.group_grace > 0:
+                self.group_grace -= 1
+            else:
+                self.prev_groups = []
             return None
+        self.group_grace = 1
 
         # consistency groups: a candidate's covisibility group must be seen
         # in `consistency_th` consecutive detections
