@@ -109,13 +109,34 @@ def optimize_sim3_graph(S_nodes, node_mask, fixed_mask,
 
 
 def optimize_essential_graph(ms, loop_a: int, loop_b: int,
-                             fixed_kf: int, covis_min: int = 100,
+                             fixed_kf: int,
+                             S_init=None, S_meas_src=None,
+                             covis_W=None,
+                             covis_min: int = 100,
                              num_iters: int = 12):
-    """Build edges from the temporal chain + strong covisibility + the
-    loop edge (measurements from current relative poses, loop edge from
-    the already-corrected poses) and optimize; then rescale map points
-    through their reference KF's corrective Sim3 (reference
-    /root/reference/src/Optimizer.cc:2157-2407 + LoopClosing.cc:545-560).
+    """Essential-graph optimization after a loop closure (reference
+    OptimizeEssentialGraph, /root/reference/src/Optimizer.cc:2157-2407 +
+    LoopClosing.cc:545-560).
+
+    Edge semantics follow the reference's NonCorrectedSim3/CorrectedSim3
+    split:
+      * chain + strong-covisibility edge MEASUREMENTS come from
+        ``S_meas_src`` — the PRE-correction pose snapshot (odometry as it
+        was before the loop group's poses were overwritten). Building them
+        from the already-corrected poses would make every residual zero
+        and the whole pass a no-op.
+      * the loop edge (loop_a, loop_b) measurement comes from ``S_init``
+        — node initializations, i.e. the CORRECTED Sim3 of the current KF
+        (with scale) against the untouched loop KF: it encodes the loop
+        constraint that the optimizer distributes along the trajectory.
+      * ``covis_W``: covisibility matrix to build strong edges from;
+        pass the PRE-fusion matrix so cross-loop links created by fusion
+        don't appear as odometry edges with drifted measurements.
+
+    Afterwards map points are corrected through their reference KF:
+    X' = S_new^-1 ∘ S_init ∘ X (S_init is consistent with current point
+    positions — the loop group's points were already remapped with the
+    corrected Sim3s that S_init carries).
     """
     K = ms.kf_q.shape[0]
     kf_ids = np.where(np.asarray(ms.kf_mask))[0]
@@ -123,35 +144,48 @@ def optimize_essential_graph(ms, loop_a: int, loop_b: int,
     if n < 3:
         return ms
 
+    if S_init is None:
+        S_init = lie.sim3_from_se3({"q": ms.kf_q, "t": ms.kf_t})
+    if S_meas_src is None:
+        S_meas_src = S_init
+    if covis_W is None:
+        covis_W = np.asarray(mapstate.covisibility_matrix(ms))
+
     # edge list (host; sizes are data-dependent but this runs rarely)
-    W = np.asarray(mapstate.covisibility_matrix(ms))
     ei, ej = [], []
     for a, b in zip(kf_ids[:-1], kf_ids[1:]):
         ei.append(a); ej.append(b)                    # spanning chain
-    strong = np.argwhere(W >= covis_min)
+    strong = np.argwhere(covis_W >= covis_min)
     for a, b in strong:
-        if a < b and abs(a - b) > 1:
+        if a < b and abs(a - b) > 1 and not (
+                (a == loop_a and b == loop_b) or (a == loop_b and b == loop_a)):
             ei.append(a); ej.append(b)
-    ei.append(loop_a); ej.append(loop_b)              # the loop edge
     ei = np.array(ei, np.int32)
     ej = np.array(ej, np.int32)
 
-    S_nodes = lie.sim3_from_se3({"q": ms.kf_q, "t": ms.kf_t})
-    S_old = jax.tree.map(lambda a: a, S_nodes)  # copy for point correction
-
-    Si = jax.tree.map(lambda a: a[jnp.asarray(ei)], S_nodes)
-    Sj = jax.tree.map(lambda a: a[jnp.asarray(ej)], S_nodes)
+    # odometry measurements from the pre-correction snapshot
+    Si = jax.tree.map(lambda a: a[jnp.asarray(ei)], S_meas_src)
+    Sj = jax.tree.map(lambda a: a[jnp.asarray(ej)], S_meas_src)
     S_meas = lie.sim3_compose(Si, lie.sim3_inverse(Sj))
+
+    # the loop edge, measured from the corrected poses
+    Sa = jax.tree.map(lambda a: a[loop_a], S_init)
+    Sb = jax.tree.map(lambda a: a[loop_b], S_init)
+    S_loop = lie.sim3_compose(Sa, lie.sim3_inverse(Sb))
+    ei = np.concatenate([ei, np.array([loop_a], np.int32)])
+    ej = np.concatenate([ej, np.array([loop_b], np.int32)])
+    S_meas = jax.tree.map(
+        lambda m, l: jnp.concatenate([m, l[None]]), S_meas, S_loop)
 
     fixed = jnp.zeros((K,), bool).at[fixed_kf].set(True)
     S_opt = optimize_sim3_graph(
-        S_nodes, ms.kf_mask, fixed,
+        S_init, ms.kf_mask, fixed,
         jnp.asarray(ei), jnp.asarray(ej), S_meas,
         jnp.ones((len(ei),), bool), num_iters=num_iters)
 
     # correct map points through their reference KF: X' = S_new^-1 S_old X
     ref = jnp.clip(ms.mp_ref_kf, 0, K - 1)
-    S_old_r = jax.tree.map(lambda a: a[ref], S_old)
+    S_old_r = jax.tree.map(lambda a: a[ref], S_init)
     S_new_r = jax.tree.map(lambda a: a[ref], S_opt)
     Xc = lie.sim3_apply(S_old_r, ms.mp_pos)
     X_new = lie.sim3_apply(lie.sim3_inverse(S_new_r), Xc)

@@ -44,10 +44,10 @@ class LoopClosing:
         cand = self._detect_loop(tracker, slot)
         if cand is None:
             return False
-        ok, S_cw = self._compute_sim3(tracker, slot, cand)
+        ok, S_cw, loop_ids, matched = self._compute_sim3(tracker, slot, cand)
         if not ok:
             return False
-        self._correct_loop(tracker, slot, cand, S_cw)
+        self._correct_loop(tracker, slot, cand, S_cw, loop_ids, matched)
         self.last_loop_kf = slot
         self.n_loops += 1
         return True
@@ -133,38 +133,122 @@ class LoopClosing:
         S12, inl, n_in = sim3solver.ransac_sim3(
             X1, X2, valid, fix_scale=False, seed=slot)
         if int(n_in) < 20:
-            return False, None
+            return False, None, None, None
         # corrected world->cam Sim3 of the current KF: S1_corrected maps
         # world through the loop KF's frame
         S_cand = lie.sim3_from_se3(T2)
         S_cw = lie.sim3_compose(S12, S_cand)   # world -> cam1 corrected
-        return True, S_cw
+
+        # Guided projection search: project the loop neighborhood's map
+        # points through S_cw into the current KF and window-match, then
+        # gate on >= 40 total matches (reference SearchByProjection(Scw)
+        # + nTotalMatches gate, /root/reference/src/LoopClosing.cc:336-368).
+        loop_ids = self._loop_point_ids(tracker, cand)
+        hit_f, hit_mp = self._project_loop_points(
+            tracker, slot, S_cw, loop_ids, radius_scale=10.0)
+        # total matches: guided hits plus the Sim3 descriptor inliers
+        feat_matched = set(hit_f.tolist())
+        inl_np = np.asarray(inl & valid)
+        idx1 = np.where(np.asarray(res.mask) & inl_np)[0]
+        feat_matched.update(idx1.tolist())
+        if len(feat_matched) < 40:
+            return False, None, None, None
+
+        # matched pairs for CorrectLoop's point replacement: current-KF
+        # feature -> loop map point (guided hits; plus Sim3 inlier pairs)
+        matched = {int(f): int(m) for f, m in zip(hit_f, hit_mp)}
+        ids2_np = np.asarray(ids2)
+        for f in idx1:
+            matched.setdefault(int(f), int(ids2_np[f]))
+        return True, S_cw, loop_ids, matched
 
     # ------------------------------------------------------------------
-    def _correct_loop(self, tracker, slot: int, cand: int, S_cw):
-        """Propagate the corrective Sim3 over the covisible group, remap
-        their points, run the 7-DoF essential-graph optimization, then
-        global BA (reference CorrectLoop, /root/reference/src/
-        LoopClosing.cc:369-544)."""
+    def _loop_point_ids(self, tracker, cand: int, cap: int = 4096):
+        """Map points of the loop KF's covisible neighborhood
+        (mvpLoopMapPoints, /root/reference/src/LoopClosing.cc:326-334)."""
+        ms = tracker.ms
+        counts = np.asarray(mapstate.covisibility_counts(ms, cand))
+        kfs = [cand] + [int(k) for k in np.argsort(-counts)[:10]
+                        if counts[k] >= 15]
+        ids = np.unique(np.concatenate(
+            [np.asarray(ms.kf_mp_idx[k]) for k in kfs]))
+        ids = ids[ids >= 0]
+        ids = ids[np.asarray(ms.mp_mask)[ids]]
+        return ids[:cap]
+
+    def _project_loop_points(self, tracker, slot: int, S_cw, loop_ids,
+                             radius_scale: float = 10.0,
+                             kf_pose=None):
+        """Project loop points through a Sim3 into KF `slot`'s image and
+        window-match against its features. Returns (feature_idx, mp_id)
+        arrays of hits."""
+        cfg = self.cfg
+        ms = tracker.ms
+        cam = cfg.camera
+        if len(loop_ids) == 0:
+            return np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+        lp = jnp.asarray(loop_ids.astype(np.int32))
+        pc = lie.sim3_apply(S_cw, ms.mp_pos[lp]) if kf_pose is None \
+            else lie.se3_apply(kf_pose, ms.mp_pos[lp])
+        z = pc[:, 2]
+        uv = jnp.stack(
+            [cam.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+             cam.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], -1)
+        visible = (z > 0.05) & \
+            (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & \
+            (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+        dist = jnp.linalg.norm(pc, axis=-1)
+        pred = mapstate.predict_scale_level(
+            dist, ms.mp_max_dist[lp], cfg.scale_factor, cfg.n_levels)
+        radius = radius_scale * tracker.scales[pred]
+        res = search.fuse_candidates(
+            ms.mp_desc[lp], uv, radius, pred, visible,
+            ms.kf_desc[slot], ms.kf_uv[slot], ms.kf_level[slot],
+            ms.kf_feat_mask[slot])
+        m = np.asarray(res.mask)
+        hits = np.where(m)[0]
+        return np.asarray(res.idx)[hits], loop_ids[hits]
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, tracker, slot: int, cand: int, S_cw,
+                      loop_ids, matched):
+        """Propagate the corrective Sim3 over the covisible group (each
+        KF's points through ITS OWN uncorrected/corrected pair), replace
+        the matched duplicates with the loop-side points, fuse the loop
+        neighborhood into the corrected group (SearchAndFuse), run the
+        7-DoF essential-graph optimization with pre-correction odometry
+        measurements, then global BA (reference CorrectLoop,
+        /root/reference/src/LoopClosing.cc:369-556)."""
         cfg = self.cfg
         ms = tracker.ms
         K = cfg.max_keyframes
 
         counts = np.asarray(mapstate.covisibility_counts(ms, slot))
-        group = [slot] + [int(k) for k in np.where(counts >= 15)[0]]
+        group = [slot] + [int(k) for k in np.where(counts >= 15)[0]
+                          if k != slot]
+        group_pos = {k: gi for gi, k in enumerate(group)}
+
+        # snapshots BEFORE any correction: odometry measurements for the
+        # essential graph (the reference's NonCorrectedSim3) and the
+        # pre-fusion covisibility for its edge topology
+        S_before = lie.sim3_from_se3({"q": ms.kf_q, "t": ms.kf_t})
+        W_pre = np.asarray(mapstate.covisibility_matrix(ms))
 
         T_cur = {"q": ms.kf_q[slot], "t": ms.kf_t[slot]}
-        # corrective transform in the current KF's frame
-        S_cur_uncorr = lie.sim3_from_se3(T_cur)
 
         # per-group-KF corrected poses: S_k_corr = (S_k_uncorr ∘ S_cur^-1)
-        # ∘ S_cw  == relative pose composed with corrected current
+        # ∘ S_cw == relative pose composed with the corrected current pose
+        # (/root/reference/src/LoopClosing.cc:397-431)
         group_j = jnp.asarray(np.array(group, np.int32))
         T_g = {"q": ms.kf_q[group_j], "t": ms.kf_t[group_j]}
         T_rel = lie.se3_compose(T_g, lie.se3_inverse(T_cur))  # cam_cur->cam_k
         S_corr = lie.sim3_compose(lie.sim3_from_se3(T_rel), S_cw)
 
-        # remap the group's map points through old^-1 then corrected pose
+        # remap the group's map points: each point goes through its own
+        # reference KF's (uncorrected, corrected) pair when that KF is in
+        # the group, else through the current KF's pair — the reference
+        # walks each covisible KF and corrects that KF's points
+        # (/root/reference/src/LoopClosing.cc:433-462)
         member = np.zeros((cfg.max_map_points,), bool)
         for k in group:
             ids = np.asarray(ms.kf_mp_idx[k])
@@ -173,11 +257,15 @@ class LoopClosing:
         mp_ids = np.where(member)[0]
         if len(mp_ids):
             mp_j = jnp.asarray(mp_ids.astype(np.int32))
-            # use each point's reference KF if in group else current KF
+            ref_np = np.asarray(ms.mp_ref_kf)[mp_ids]
+            owner = np.array([group_pos.get(int(r), 0) for r in ref_np],
+                             np.int32)            # index into `group`
+            owner_j = jnp.asarray(owner)
+            T_own = {"q": T_g["q"][owner_j], "t": T_g["t"][owner_j]}
+            S_own = jax.tree.map(lambda a: a[owner_j], S_corr)
             pos = ms.mp_pos[mp_j]
-            pc = lie.se3_apply(T_cur, pos)               # old cam coords
-            S_wc = lie.sim3_inverse(S_cw)
-            new_pos = lie.sim3_apply(S_wc, pc)
+            pc = lie.se3_apply(T_own, pos)        # uncorrected cam coords
+            new_pos = lie.sim3_apply(lie.sim3_inverse(S_own), pc)
             tracker.ms = dataclasses.replace(
                 tracker.ms, mp_pos=tracker.ms.mp_pos.at[mp_j].set(new_pos))
 
@@ -188,11 +276,88 @@ class LoopClosing:
             kf_q=tracker.ms.kf_q.at[group_j].set(T_new["q"]),
             kf_t=tracker.ms.kf_t.at[group_j].set(T_new["t"]))
 
+        # node initialization: corrected Sim3s (with scale) for the group,
+        # pre-correction poses elsewhere
+        S_init = jax.tree.map(
+            lambda all_, grp: all_.at[group_j].set(grp), S_before, S_corr)
+
+        # replace matched duplicates: the current KF's points yield to the
+        # established loop-side points (/root/reference/src/LoopClosing.cc:
+        # 479-500)
+        self._replace_matched(tracker, slot, matched)
+        # SearchAndFuse: project loop points into every corrected group KF
+        # and merge duplicates — this creates the cross-loop covisibility
+        # that makes the essential graph effective (:502-522, :545-556)
+        self._search_and_fuse(tracker, group, loop_ids)
+        tracker.ms = map_ops.bind_observations(tracker.ms)
+        tracker.ms = map_ops.refresh_map_points(
+            tracker.ms, jnp.ones((cfg.max_map_points,), bool),
+            cfg.scale_factor, cfg.n_levels)
+
         # essential-graph optimization over all KFs
         tracker.ms = posegraph.optimize_essential_graph(
-            tracker.ms, loop_a=slot, loop_b=cand,
-            fixed_kf=cand)
+            tracker.ms, loop_a=slot, loop_b=cand, fixed_kf=cand,
+            S_init=S_init, S_meas_src=S_before, covis_W=W_pre)
 
         # full global BA (reference spawns a thread; we run in place)
         tracker.ms = tracker._run_global_ba(iters=15)
         tracker._rebuild_direct_cache()
+
+    # ------------------------------------------------------------------
+    def _replace_matched(self, tracker, slot: int, matched):
+        """Current-KF features matched to loop points adopt them; any
+        pre-existing bound point is absorbed by the loop point."""
+        from ygz_tpu.pipeline.mapping import _replace_map_point
+        ms = tracker.ms
+        existing = np.asarray(ms.kf_mp_idx[slot])
+        bind_f, bind_mp = [], []
+        for f, loop_mp in matched.items():
+            cur = int(existing[f])
+            if cur == loop_mp:
+                continue
+            if cur >= 0:
+                tracker.ms = _replace_map_point(tracker.ms, cur, loop_mp)
+                tracker.mp_alloc[cur] = False
+            bind_f.append(f)
+            bind_mp.append(loop_mp)
+        if bind_f:
+            tracker.ms = dataclasses.replace(
+                tracker.ms,
+                kf_mp_idx=tracker.ms.kf_mp_idx.at[
+                    slot, jnp.asarray(bind_f)].set(
+                    jnp.asarray(bind_mp, dtype=jnp.int32)))
+
+    # ------------------------------------------------------------------
+    def _search_and_fuse(self, tracker, group, loop_ids):
+        """Project the loop neighborhood's points into each corrected
+        group KF and fuse: existing duplicates are absorbed by the loop
+        point, free features are bound (reference SearchAndFuse,
+        /root/reference/src/LoopClosing.cc:502-522 + ORBmatcher::Fuse(Scw))."""
+        from ygz_tpu.pipeline.mapping import _replace_map_point
+        if loop_ids is None or len(loop_ids) == 0:
+            return
+        for k in group:
+            ms = tracker.ms
+            T_k = {"q": ms.kf_q[k], "t": ms.kf_t[k]}
+            hit_f, hit_mp = self._project_loop_points(
+                tracker, k, None, loop_ids, radius_scale=4.0, kf_pose=T_k)
+            if len(hit_f) == 0:
+                continue
+            existing = np.asarray(ms.kf_mp_idx[k])
+            bind_f, bind_mp = [], []
+            for f, loop_mp in zip(hit_f, hit_mp):
+                cur = int(existing[f])
+                loop_mp = int(loop_mp)
+                if cur == loop_mp:
+                    continue
+                if cur >= 0:
+                    tracker.ms = _replace_map_point(tracker.ms, cur, loop_mp)
+                    tracker.mp_alloc[cur] = False
+                bind_f.append(int(f))
+                bind_mp.append(loop_mp)
+            if bind_f:
+                tracker.ms = dataclasses.replace(
+                    tracker.ms,
+                    kf_mp_idx=tracker.ms.kf_mp_idx.at[
+                        k, jnp.asarray(bind_f)].set(
+                        jnp.asarray(bind_mp, dtype=jnp.int32)))
