@@ -54,15 +54,29 @@ def _plane_hit(tex, T_wc_origin, dirs, plane_z, tex_shape):
     return texel, tt
 
 
+def _pixel_rays(cam: Camera):
+    """Unit-z camera rays per pixel. A calibration with distortion models a
+    real distorting lens: the ray behind pixel u is the IDEAL direction
+    whose distorted projection lands on u, i.e. undistort((u-c)/f) — so
+    rendered images carry true lens distortion and exercise the pipeline's
+    undistortion remap."""
+    H, W = cam.height, cam.width
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    xn = jnp.asarray(np.stack([(us - cam.cx) / cam.fx,
+                               (vs - cam.cy) / cam.fy], -1))
+    if cam.has_distortion:
+        from ygz_tpu.core.camera import undistort_normalized
+        xn = undistort_normalized(cam, xn)
+    return jnp.concatenate([xn, jnp.ones(xn.shape[:-1] + (1,))],
+                           -1).reshape(-1, 3)
+
+
 def render_with_depth(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
                       seed: int = 0):
     """Like render(three_d=True) but also returns the depth map (camera-z)."""
     H, W = cam.height, cam.width
-    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
-                         np.arange(H, dtype=np.float32))
-    xn = (us - cam.cx) / cam.fx
-    yn = (vs - cam.cy) / cam.fy
-    rays = jnp.asarray(np.stack([xn, yn, np.ones_like(xn)], -1).reshape(-1, 3))
+    rays = _pixel_rays(cam)
     T_wc = lie.se3_inverse(T_cw)
     origin = T_wc["t"]
     dirs = lie.quat_rotate(T_wc["q"], rays)
@@ -102,11 +116,7 @@ def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
     (global flex modes stay observation-consistent), so e2e tests need
     real depth structure."""
     H, W = cam.height, cam.width
-    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
-                         np.arange(H, dtype=np.float32))
-    xn = (us - cam.cx) / cam.fx
-    yn = (vs - cam.cy) / cam.fy
-    rays = jnp.asarray(np.stack([xn, yn, np.ones_like(xn)], -1).reshape(-1, 3))
+    rays = _pixel_rays(cam)
     T_wc = lie.se3_inverse(T_cw)
     origin = T_wc["t"]
     dirs = lie.quat_rotate(T_wc["q"], rays)

@@ -99,6 +99,27 @@ def distort_normalized(cam: Camera, xn):
     return jnp.stack([xd, yd], axis=-1)
 
 
+def undistort_normalized(cam: Camera, xd, iters: int = 8):
+    """Invert distort_normalized by fixed-point iteration (the standard
+    compensate-distortion scheme): x <- (xd - tangential(x)) / radial(x).
+    Converges in a few iterations for plumb-bob magnitudes (EuRoC
+    k1 ~ -0.28, TUM1 k1 ~ 0.26)."""
+    x = xd
+    for _ in range(iters):
+        u, v = x[..., 0], x[..., 1]
+        r2 = u * u + v * v
+        r4 = r2 * r2
+        r6 = r4 * r2
+        num = 1.0 + cam.k1 * r2 + cam.k2 * r4 + cam.k3 * r6
+        den = 1.0 + cam.k4 * r2 + cam.k5 * r4 + cam.k6 * r6
+        radial = num / den
+        tx = 2.0 * cam.p1 * u * v + cam.p2 * (r2 + 2.0 * u * u)
+        ty = cam.p1 * (r2 + 2.0 * v * v) + 2.0 * cam.p2 * u * v
+        x = jnp.stack([(xd[..., 0] - tx) / radial,
+                       (xd[..., 1] - ty) / radial], axis=-1)
+    return x
+
+
 def undistort_map(cam: Camera):
     """Build the remap grid that undistorts a full image.
 

@@ -57,8 +57,17 @@ class Frame:
 
 def make_frame(img: np.ndarray, frame_id: int, timestamp: float,
                cfg: SlamConfig, imu: Optional[np.ndarray] = None) -> Frame:
-    """Build a frame: grayscale float32 + pyramid only (lazy features)."""
+    """Build a frame: undistort (if the calibration has distortion) +
+    grayscale float32 + pyramid only (lazy features).
+
+    The reference undistorts the whole image via a cached cv::remap grid
+    before building the pyramid (/root/reference/src/Frame.cc:773-805) —
+    required for the photometric direct path, which samples raw pixels and
+    so can't work with per-keypoint undistortion. Same here: one cached
+    remap grid per calibration, applied as a batched bilinear gather."""
     g = jnp.asarray(img, dtype=jnp.float32)
+    if cfg.camera.has_distortion:
+        g = undistort_image(g, cfg.camera)
     pyr = _build_pyramid_jit(g, cfg.n_levels, cfg.scale_factor)
     return Frame(frame_id=frame_id, timestamp=timestamp, pyramid=pyr, imu=imu)
 
@@ -66,6 +75,54 @@ def make_frame(img: np.ndarray, frame_id: int, timestamp: float,
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _build_pyramid_jit(img, n_levels, scale_factor):
     return pyramid.build_pyramid(img, n_levels, scale_factor)
+
+
+# --- whole-image undistortion (cached remap grid per calibration) ---------
+
+_UNDIST_GRIDS: dict = {}
+
+
+def _undist_grid(cam):
+    grid = _UNDIST_GRIDS.get(cam)
+    if grid is None:
+        from ygz_tpu.core import camera as camera_mod
+        grid = jax.device_put(camera_mod.undistort_map(cam))
+        _UNDIST_GRIDS[cam] = grid
+    return grid
+
+
+def undistort_image(img, cam):
+    """Bilinear remap through the cached undistortion grid; out-of-source
+    pixels become 0 (matches cv::remap's default border)."""
+    return _remap_bilinear_jit(img, _undist_grid(cam))
+
+
+def undistort_depth(depth, cam):
+    """Nearest-neighbor remap for depth images: bilinear would blend
+    depths across occlusion boundaries and invent phantom geometry.
+    Out-of-source or invalid source pixels become 0 (= no depth)."""
+    return _remap_nearest_jit(jnp.asarray(depth, jnp.float32),
+                              _undist_grid(cam))
+
+
+@jax.jit
+def _remap_bilinear_jit(img, grid):
+    from ygz_tpu.ops.interp import bilinear_sample
+    H, W = img.shape
+    val = bilinear_sample(img, grid)
+    inb = (grid[..., 0] >= 0) & (grid[..., 0] <= W - 1) & \
+          (grid[..., 1] >= 0) & (grid[..., 1] <= H - 1)
+    return jnp.where(inb, val, 0.0)
+
+
+@jax.jit
+def _remap_nearest_jit(img, grid):
+    H, W = img.shape
+    ui = jnp.round(grid[..., 0]).astype(jnp.int32)
+    vi = jnp.round(grid[..., 1]).astype(jnp.int32)
+    inb = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    val = img[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
+    return jnp.where(inb, val, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

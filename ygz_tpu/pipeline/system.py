@@ -70,6 +70,12 @@ class System:
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
                    timestamp: float):
         fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg)
+        if self.cfg.camera.has_distortion:
+            # depth must live in the same (undistorted) pixel grid as the
+            # gray image (reference remaps imDepth alongside imGray,
+            # /root/reference/src/Frame.cc:773-805); nearest-neighbor so
+            # occlusion boundaries don't blend
+            depth = frame_mod.undistort_depth(depth, self.cfg.camera)
         fr = frame_mod.extract_features(fr, self.cfg, depth_img=depth)
         T = self.tracker.track(fr)
         if self.loop_closer is not None and self.tracker.n_kf > 0 and \
