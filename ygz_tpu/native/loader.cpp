@@ -16,6 +16,7 @@
 //   void  ygz_loader_destroy(void* h);
 
 #include <atomic>
+#include <cctype>
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdio>
@@ -53,7 +54,16 @@ bool decode_png(const char* path, Image* out) {
     }
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
                                              nullptr, nullptr, nullptr);
+    if (!png) {
+        std::fclose(f);
+        return false;
+    }
     png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        std::fclose(f);
+        return false;
+    }
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
         std::fclose(f);
@@ -139,17 +149,47 @@ bool decode_jpeg(const char* path, Image* out) {
     return true;
 }
 
+// Reads the next PGM header integer, skipping whitespace and '#' comments
+// (both legal anywhere in the header per the netpbm spec). Returns -1 on EOF
+// or malformed input.
+int pgm_next_int(FILE* f) {
+    int c;
+    for (;;) {
+        c = std::fgetc(f);
+        if (c == EOF) return -1;
+        if (c == '#') {
+            while (c != EOF && c != '\n') c = std::fgetc(f);
+            continue;
+        }
+        if (!std::isspace(c)) break;
+    }
+    int v = 0;
+    bool any = false;
+    while (c != EOF && std::isdigit(c)) {
+        v = v * 10 + (c - '0');
+        any = true;
+        c = std::fgetc(f);
+    }
+    return any ? v : -1;
+}
+
 bool decode_pgm(const char* path, Image* out) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
     char magic[3] = {0};
-    int w = 0, h = 0, maxv = 0;
-    if (std::fscanf(f, "%2s %d %d %d", magic, &w, &h, &maxv) != 4 ||
-        std::strcmp(magic, "P5") != 0 || maxv <= 0 || maxv > 65535) {
+    if (std::fscanf(f, "%2s", magic) != 1 || std::strcmp(magic, "P5") != 0) {
         std::fclose(f);
         return false;
     }
-    std::fgetc(f);  // single whitespace after header
+    int w = pgm_next_int(f);
+    int h = pgm_next_int(f);
+    int maxv = pgm_next_int(f);
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 65535) {
+        std::fclose(f);
+        return false;
+    }
+    // pgm_next_int consumed the single whitespace after maxval already,
+    // so the stream now points at the first binary sample
     out->width = w;
     out->height = h;
     out->pixels.resize(static_cast<size_t>(w) * h);
@@ -159,8 +199,9 @@ bool decode_pgm(const char* path, Image* out) {
             std::fclose(f);
             return false;
         }
+        const float s = 255.0f / maxv;
         for (size_t i = 0; i < buf.size(); ++i)
-            out->pixels[i] = static_cast<float>(buf[i]);
+            out->pixels[i] = static_cast<float>(buf[i]) * s;
     } else {
         std::vector<unsigned char> buf(static_cast<size_t>(w) * h * 2);
         if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
