@@ -28,3 +28,11 @@ except Exception:
 
 assert jax.devices()[0].platform == "cpu", (
     "unit tests must run on the virtual CPU mesh, got %s" % jax.devices())
+
+# persistent compilation cache: the suite's wall clock is dominated by
+# XLA compiles of the big fused pipeline programs; caching them across
+# pytest invocations turns a ~10 min cold run into seconds warm
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

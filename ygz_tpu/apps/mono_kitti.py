@@ -10,7 +10,8 @@ def main(argv=None):
     args = runner.make_parser("mono_kitti").parse_args(argv)
     cfg = load_config(args.settings, **runner.config_overrides(args))
     sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
-                  sensor=MONOCULAR, use_loop_closing=not args.no_loop)
+                  sensor=MONOCULAR, use_loop_closing=not args.no_loop,
+                  pipelined=args.pipelined)
     frames = datasets.load_kitti_mono(args.sequence)
     runner.run_sequence(sys_, frames, args,
                         lambda s, it: s.track_monocular(it[1], it[0]))

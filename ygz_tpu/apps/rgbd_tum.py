@@ -10,7 +10,8 @@ def main(argv=None):
     args = runner.make_parser("rgbd_tum").parse_args(argv)
     cfg = load_config(args.settings, **runner.config_overrides(args))
     sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
-                  sensor=RGBD, use_loop_closing=not args.no_loop)
+                  sensor=RGBD, use_loop_closing=not args.no_loop,
+                  pipelined=args.pipelined)
     frames = datasets.load_tum_rgbd(args.sequence, args.associations)
     runner.run_sequence(sys_, frames, args,
                         lambda s, it: s.track_rgbd(it[1], it[2], it[0]))

@@ -40,6 +40,17 @@ def make_parser(name: str) -> argparse.ArgumentParser:
                    help="map point capacity (static shape)")
     p.add_argument("--detect-cell", type=int, default=None)
     p.add_argument("--detect-per-cell", type=int, default=None)
+    p.add_argument("--pipelined", action="store_true",
+                   help="overlap frames on device (deferred-gate tracking)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the run into DIR "
+                        "(view with tensorboard or xprof; SURVEY §5 "
+                        "tracing). Covers device + host activity.")
+    p.add_argument("--log", default=None, choices=("debug", "info"),
+                   help="enable structured pipeline logging")
+    p.add_argument("--viewer", type=int, default=None, metavar="PORT",
+                   help="serve a live map/frame viewer on this port "
+                        "(browser dashboard; reference Viewer equivalent)")
     return p
 
 
@@ -72,6 +83,17 @@ def load_vocab(path: str, cfg):
 
 def run_sequence(system, frames, args, track_fn):
     """Drive the system over `frames`, collecting per-frame wall time."""
+    if getattr(args, "log", None):
+        from ygz_tpu.utils.log import enable
+        enable(args.log)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+    viewer = None
+    if getattr(args, "viewer", None):
+        from ygz_tpu.utils.live_viewer import LiveViewer
+        viewer = LiveViewer(port=args.viewer).start()
     times = []
     t_prev = None
     n = 0
@@ -84,6 +106,8 @@ def run_sequence(system, frames, args, track_fn):
         t0 = time.perf_counter()
         track_fn(system, item)
         times.append(time.perf_counter() - t0)
+        if viewer is not None:
+            viewer.update(system.tracker, system.tracker.last_frame)
         t_prev = ts
         n += 1
         if args.max_frames and n >= args.max_frames:
@@ -93,6 +117,12 @@ def run_sequence(system, frames, args, track_fn):
                   f"{np.median(times[-50:]) * 1e3:.1f} ms  "
                   f"state={system.tracker.state} kfs={system.tracker.n_kf}")
 
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        print("profiler trace ->", profile_dir)
+    if viewer is not None:
+        viewer.stop()
     times = np.array(times)
     print(f"tracked {n} frames; per-frame time "
           f"median {np.median(times) * 1e3:.1f} ms / "

@@ -15,7 +15,8 @@ def main(argv=None):
     args = runner.make_parser("stereo_euroc").parse_args(argv)
     cfg = load_config(args.settings, **runner.config_overrides(args))
     sys_ = System(cfg, vocab=runner.load_vocab(args.vocabulary, cfg),
-                  sensor=STEREO, use_loop_closing=not args.no_loop)
+                  sensor=STEREO, use_loop_closing=not args.no_loop,
+                  pipelined=args.pipelined)
 
     # optional rectification from LEFT./RIGHT. blocks
     y = _parse_opencv_yaml(args.settings)
