@@ -1,26 +1,34 @@
-"""Benchmark: steady-state per-frame tracking latency of the hybrid
-tracker's device hot path on EuRoC-sized frames (752x480, 4-level
-pyramid), on whatever accelerator jax.devices() provides.
+"""Benchmark: per-frame tracking performance on EuRoC-sized frames
+(752x480), on whatever accelerator jax.devices() provides.
 
-The measured program is the per-frame compute the reference spends its
-~20 ms/frame on (Note.md 2017.3.9): pyramid build + coarse-to-fine
-sparse direct alignment (256 patches x 3 levels x 10 GN iterations) +
-direct local-map patch alignment (512 candidate points x batched 8x8 KLT)
-+ pose-only bundle adjustment (4x10 schedule). Host orchestration between
-these calls is microseconds; this is the honest per-frame device cost.
+Two measurements:
 
-Prints ONE JSON line: tracking FPS, vs_baseline = FPS / 50 (the
-reference's ~20 ms/frame on CPU; >= 3 means the BASELINE.json 3x target
-is met).
+1. **System FPS** (headline): median wall-clock time of
+   `System.track_monocular` over a synthetic textured world — the FULL
+   per-frame cost including host orchestration, exactly what the
+   reference's ~20 ms/frame covers (Examples/Monocular/
+   mono_euroc_vins.cc:142-163 measures the same boundary). Median, like
+   the reference's reporting, so the occasional keyframe-creation frame
+   (mapping work, which the reference runs on a second thread) doesn't
+   skew the tracking number.
+2. **Kernel FPS**: the tracking hot path as one fused device program
+   (pyramid + sparse align + direct KLT + pose opt) — the device-side
+   ceiling.
+
+Prints ONE JSON line; vs_baseline = system FPS / 50 (the reference's
+~20 ms/frame on CPU; >= 3 means the BASELINE.json 3x target is met).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def bench_kernel():
+    """Device hot path: one fused jit call per frame."""
     import jax
     import jax.numpy as jnp
     from ygz_tpu.backend import ba
@@ -91,14 +99,106 @@ def main():
         out = frame_step(img_cur, pyr_ref, T0)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt
 
-    fps = 1.0 / dt
-    print(json.dumps({
-        "metric": "tracking_fps_euroc_frame",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 50.0, 3),
-    }))
+
+def synthetic_render_jittable(tex, T_cw, cam):
+    """tests/synthetic.render, trace-compatible (it already is — this
+    indirection exists so jax.jit sees a single callable)."""
+    import jax.numpy as jnp
+    import synthetic
+    H, W = cam.height, cam.width
+    from ygz_tpu.core import lie
+    from ygz_tpu.ops.interp import bilinear_sample
+    rays = synthetic._pixel_rays(cam)
+    T_wc = lie.se3_inverse(T_cw)
+    origin = T_wc["t"]
+    dirs = lie.quat_rotate(T_wc["q"], rays)
+    texel_bg, _ = synthetic._plane_hit(tex, origin, dirs, synthetic.PLANE_Z,
+                                       tex.shape)
+    img = bilinear_sample(jnp.asarray(tex), texel_bg)
+    occ, fg_tex = synthetic._fg_layer(0)
+    texel_fg, tt = synthetic._plane_hit(fg_tex, origin, dirs,
+                                        synthetic.PLANE_Z * 2.0 / 3.0,
+                                        fg_tex.shape)
+    fg_val = bilinear_sample(jnp.asarray(fg_tex), texel_fg)
+    fg_occ = bilinear_sample(jnp.asarray(occ), texel_fg)
+    hit = (fg_occ > 0.5) & (tt > 0)
+    img = jnp.where(hit, fg_val, img)
+    return img.reshape(H, W)
+
+
+def bench_system(n_frames: int = 120, warm_frames: int = 30):
+    """Full-system per-frame wall clock: System.track_monocular on a
+    752x480 synthetic world. Returns (median_fps, tracked_fraction)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import synthetic
+    from ygz_tpu.core.camera import Camera
+    from ygz_tpu.pipeline import tracking
+    from ygz_tpu.pipeline.system import System
+    from ygz_tpu.utils.config import SlamConfig
+
+    cam = Camera(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
+                 width=752, height=480)
+    cfg = SlamConfig(
+        camera=cam, fps=20.0,
+        n_features=1000, n_levels=4, scale_factor=2.0,  # EuRoC mono config
+        ini_th_fast=12.0, min_th_fast=5.0,
+        cache_features=150, init_min_matches=100,
+        max_keyframes=64, max_map_points=8192,
+        detect_cell=32, detect_per_cell=5)
+
+    # pre-render the sequence (the "dataset" — not part of frame cost);
+    # jit the renderer so each frame is one dispatch, not ~30 eager ops
+    import jax
+    tex = synthetic.make_texture(0, size=(1400, 2000))
+    traj = synthetic.orbit_trajectory(n_frames + warm_frames, dt=0.05)
+    render_jit = jax.jit(
+        lambda T: synthetic_render_jittable(tex, T, cam))
+    frames = [np.asarray(render_jit(T_cw)) for _, T_cw in traj]
+
+    # pipelined: gate readbacks deferred one frame so device work overlaps
+    # (the honest system number — same per-frame work, throughput mode)
+    slam = System(cfg, use_loop_closing=False, pipelined=True)
+    times = []
+    n_ok = 0
+    for i, ((ts, _), img) in enumerate(zip(traj, frames)):
+        t0 = time.perf_counter()
+        slam.track_monocular(img, ts)
+        dt = time.perf_counter() - t0
+        if i >= warm_frames:
+            times.append(dt)
+            n_ok += int(slam.tracker.state == tracking.OK)
+    med = float(np.median(times))
+    return 1.0 / med, n_ok / max(len(times), 1)
+
+
+def main():
+    kernel_fps = bench_kernel()
+    try:
+        system_fps, tracked = bench_system()
+    except Exception as e:  # pragma: no cover — keep the bench line alive
+        print(f"[bench] system bench failed: {e!r}", file=sys.stderr)
+        system_fps, tracked = None, 0.0
+
+    if system_fps is not None:
+        out = {
+            "metric": "system_tracking_fps_euroc_frame",
+            "value": round(system_fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(system_fps / 50.0, 3),
+            "kernel_fps": round(kernel_fps, 2),
+            "tracked_fraction": round(tracked, 3),
+        }
+    else:
+        out = {
+            "metric": "tracking_fps_euroc_frame",
+            "value": round(kernel_fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(kernel_fps / 50.0, 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

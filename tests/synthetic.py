@@ -29,21 +29,79 @@ def make_texture(seed=0, size=(640, 900)):
     return (tex / max(tex.max(), 1e-6) * 255.0).astype(np.float32)
 
 
+def make_landmark_texture(seed=0, size=(640, 900), n_marks=160):
+    """Texture with DISTINCT sparse landmarks over a muted noise base.
+
+    The plain `make_texture` noise mosaic is procedurally self-similar —
+    every region yields statistically identical descriptors, so BoW
+    place recognition is perceptually aliased by construction and loop
+    detection cannot work no matter the vocabulary. Here each landmark
+    is a unique random high-frequency stamp, so different plane regions
+    produce genuinely different visual words (what real scenes give a
+    place recognizer)."""
+    rng = np.random.RandomState(seed)
+    from scipy.ndimage import gaussian_filter
+    base = gaussian_filter(rng.rand(*size).astype(np.float32), 6.0)
+    base = 90.0 + 60.0 * (base - base.min()) / max(np.ptp(base), 1e-6)
+    tex = base
+    H, W = size
+    for _ in range(n_marks):
+        s = rng.randint(10, 28)             # stamp half-size in texels
+        cy = rng.randint(s, H - s)
+        cx = rng.randint(s, W - s)
+        stamp = (rng.rand(8, 8) > 0.5).astype(np.float32)
+        stamp = np.kron(stamp, np.ones((2 * s // 8 + 1, 2 * s // 8 + 1),
+                                       np.float32))[:2 * s, :2 * s]
+        lo, hi = rng.uniform(0, 60), rng.uniform(180, 255)
+        tex[cy - s:cy + s, cx - s:cx + s] = lo + (hi - lo) * stamp
+    return gaussian_filter(tex, 0.6).astype(np.float32)
+
+
+def circuit_trajectory(n_frames: int, width: float = 1.6,
+                       height: float = 1.0, dt: float = 0.1,
+                       overlap: float = 0.25):
+    """Rectangular circuit over the plane returning to (and re-tracing)
+    the start — a genuine loop for loop-closure tests. The final
+    `overlap` fraction of a side re-traverses the first leg."""
+    per = 2.0 * (width + height) + overlap * width
+    out = []
+    for i in range(n_frames):
+        d = per * i / max(n_frames - 1, 1)
+        if d < width:
+            x, y = d, 0.0
+        elif d < width + height:
+            x, y = width, d - width
+        elif d < 2 * width + height:
+            x, y = width - (d - width - height), height
+        elif d < 2 * width + 2 * height:
+            x, y = 0.0, height - (d - 2 * width - height)
+        else:
+            x, y = d - 2 * (width + height), 0.0
+        x -= width / 2.0
+        y -= height / 2.0
+        xi = jnp.asarray(np.array([x, y, 0.0, 0.0, 0.0, 0.0], np.float32))
+        T_wc = lie.se3_exp(xi)
+        out.append((i * dt, lie.se3_inverse(T_wc)))
+    return out
+
+
 _FG_CACHE = {}
 
 
-def _fg_layer(seed):
+def _fg_layer(seed, landmarks=False):
     """Foreground occupancy + texture for the near plane: blobby solid
     patches covering ~40% of the area."""
-    if seed not in _FG_CACHE:
+    key = (seed, landmarks)
+    if key not in _FG_CACHE:
         rng = np.random.RandomState(seed + 1000)
         from scipy.ndimage import gaussian_filter
         occ = gaussian_filter(rng.rand(640, 900).astype(np.float32), 18.0)
         occ = (occ > np.percentile(occ, 60)).astype(np.float32)
         occ = gaussian_filter(occ, 1.0)
-        tex = make_texture(seed + 2000)
-        _FG_CACHE[seed] = (occ, tex)
-    return _FG_CACHE[seed]
+        tex = make_landmark_texture(seed + 2000) if landmarks \
+            else make_texture(seed + 2000)
+        _FG_CACHE[key] = (occ, tex)
+    return _FG_CACHE[key]
 
 
 def _plane_hit(tex, T_wc_origin, dirs, plane_z, tex_shape):
@@ -109,7 +167,7 @@ def render_stereo(tex, T_cw_left, baseline: float, cam: Camera = CAM,
 
 
 def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
-           seed: int = 0, three_d: bool = True):
+           seed: int = 0, three_d: bool = True, fg_landmarks: bool = False):
     """Render the synthetic world: a textured background plane at
     `plane_z` plus (three_d) a partially-occupied foreground plane at
     2/3 of that depth — a pure plane is degenerate for monocular SfM
@@ -124,7 +182,7 @@ def render(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
     texel_bg, _ = _plane_hit(tex, origin, dirs, plane_z, tex.shape)
     img = bilinear_sample(jnp.asarray(tex), texel_bg)
     if three_d:
-        occ, fg_tex = _fg_layer(seed)
+        occ, fg_tex = _fg_layer(seed, landmarks=fg_landmarks)
         texel_fg, tt = _plane_hit(fg_tex, origin, dirs, plane_z * 2.0 / 3.0,
                                   fg_tex.shape)
         fg_val = bilinear_sample(jnp.asarray(fg_tex), texel_fg)

@@ -23,6 +23,7 @@ Conventions: poses map reference-camera coords to current-camera coords
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -256,6 +257,40 @@ def align2d(img_cur, ref_patches, uv_init, mask,
          jnp.full((M,), 1e9, jnp.float32), jnp.int32(0)))
     converged = mask & blk_valid & (last_step < conv_eps)
     return uv, converged
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factors",
+                                             "max_move"))
+def refine_matches_klt(pyr_ref, uv_ref, lvl_ref, pyr_cur, uv_cur, mask,
+                       n_levels: int, scale_factors: tuple,
+                       max_move: float = 4.0):
+    """KLT-refine matched feature positions in the current frame against
+    reference-frame patches, per pyramid level.
+
+    Detector corners carry ~0.5-1 px view-dependent localization bias —
+    refining the current-side position photometrically against the
+    reference appearance cuts the PAIR's relative error to ~0.1-0.2 px,
+    which multiplies through triangulation accuracy (depth error scales
+    linearly with match noise). No affine warp: callers use this for
+    small-viewpoint-change pairs (initialization, consecutive KFs).
+
+    uv_ref/uv_cur: [N, 2] level-0 positions; lvl_ref: [N] detection level.
+    Returns (uv_cur_refined [N, 2], refined_ok [N]).
+    """
+    uv_out = uv_cur
+    ok_out = jnp.zeros(mask.shape, bool)
+    for lvl in range(n_levels):
+        sel = mask & (lvl_ref == lvl)
+        s = 1.0 / float(scale_factors[lvl])
+        patches = extract_ref_patches(pyr_ref[lvl], uv_ref * s,
+                                      half=ALIGN_HALF_PATCH)
+        uv_new, conv = align2d(pyr_cur[lvl], patches, uv_cur * s, sel)
+        uv0 = uv_new / s
+        moved = jnp.linalg.norm(uv0 - uv_cur, axis=-1)
+        good = sel & conv & (moved < max_move / s)
+        uv_out = jnp.where(good[:, None], uv0, uv_out)
+        ok_out = ok_out | good
+    return uv_out, ok_out
 
 
 def warp_affine_patches(img_ref, uv_ref, A_cur_ref, search_level_scale,

@@ -46,6 +46,14 @@ class Frame:
     mp_idx: Optional[jnp.ndarray] = None      # [N] tracked map point ids
     # IMU measurements since previous frame (vio path)
     imu: Optional[np.ndarray] = None          # [n, 7] (t, wx wy wz, ax ay az)
+    # raw metric inputs, kept for LAZY extraction: stereo/RGB-D frames
+    # track direct (photometric) like mono and only pay detection +
+    # depth association when they become keyframes or hit a fallback
+    depth_img: Optional[jnp.ndarray] = None   # [H, W] metric depth
+    right_pyr: Optional[Tuple[jnp.ndarray, ...]] = None  # right-cam pyramid
+    # pose relative to the reference KF, precomputed on device by the
+    # fused tracking step (avoids per-frame eager recompute + sync)
+    T_c_ref: Optional[dict] = None
 
     @property
     def extracted(self) -> bool:
@@ -149,6 +157,10 @@ def extract_features(frame: Frame, cfg: SlamConfig,
     """
     if frame.extracted:
         return frame
+    if depth_img is None:
+        depth_img = frame.depth_img
+    if right_pyr is None:
+        right_pyr = frame.right_pyr
     uv, level, angle, desc, mask = _extract_jit(frame.pyramid, cfg)
     N = int(uv.shape[0])
     ur = jnp.full((N,), -1.0, jnp.float32)
@@ -168,6 +180,33 @@ def extract_features(frame: Frame, cfg: SlamConfig,
         frame, uv=uv, level=level, angle=angle, desc=desc, feat_mask=mask,
         ur=ur, depth=depth,
         mp_idx=jnp.full((N,), -1, jnp.int32))
+
+
+def associate_depth(frame: Frame, cfg: SlamConfig) -> Frame:
+    """(Re)compute the per-feature ur/depth columns from the frame's raw
+    metric inputs at its CURRENT uv table — needed after the direct->
+    feature merge at keyframe creation, where direct-tracked positions
+    overwrite tail feature slots and would otherwise keep the evicted
+    corners' stereo rows."""
+    if frame.uv is None:
+        return frame
+    N = int(frame.uv.shape[0])
+    if frame.depth_img is not None:
+        d = jnp.asarray(frame.depth_img, jnp.float32) / cfg.depth_map_factor
+        ui = jnp.clip(frame.uv[:, 0].astype(jnp.int32), 0, d.shape[1] - 1)
+        vi = jnp.clip(frame.uv[:, 1].astype(jnp.int32), 0, d.shape[0] - 1)
+        depth = d[vi, ui]
+        valid_d = depth > 0
+        ur = jnp.where(valid_d,
+                       frame.uv[:, 0] - cfg.camera.bf / jnp.maximum(depth, 1e-6),
+                       -1.0)
+        depth = jnp.where(valid_d, depth, -1.0)
+    elif frame.right_pyr is not None:
+        ur, depth = stereo_match(frame.pyramid, frame.right_pyr,
+                                 frame.uv, frame.level, frame.feat_mask, cfg)
+    else:
+        return frame
+    return dataclasses.replace(frame, ur=ur, depth=depth)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

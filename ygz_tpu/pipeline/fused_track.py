@@ -1,0 +1,131 @@
+"""The per-frame hot path as ONE device program.
+
+The reference spends its 20 ms/frame budget in a single thread walking
+sparse alignment -> direct local-map search -> pose optimization
+(/root/reference/src/Tracking.cc:371-523). A literal translation — one
+host call per stage with scalar gates in between — is hostile to an
+accelerator behind a dispatch boundary: every eager op costs ~4 ms of
+enqueue latency on a tunneled TPU and every scalar readback ~11 ms, so a
+frame dissolves into hundreds of milliseconds of queueing. This module
+fuses the whole cascade into one jitted step whose only host-visible
+output is the new frame state plus a single small `bundle` vector of
+gate scalars; the tracker reads that bundle once per frame (or, in
+pipelined mode, one frame late so consecutive frames overlap on device).
+
+The math is identical to the unfused path in tracking.py (which remains
+as the fallback cascade): TrackWithSparseAlignment
+(/root/reference/src/Tracking.cc:2061-2105) then TrackLocalMapDirect
+(:2107-2172), then the bookkeeping the reference does inline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ygz_tpu.backend import ba
+from ygz_tpu.core import lie
+from ygz_tpu.ops import align
+from ygz_tpu.pipeline import map_ops
+from ygz_tpu.utils.config import SlamConfig
+
+# bundle layout (float32[8]):
+B_GATE1 = 0      # tracked-in-last-frame count (>=30 enables sparse align)
+B_MOTION_OK = 1  # sparse-align update stayed inside the sanity bounds
+B_N_HIT = 2      # direct local-map hits
+B_N_IN = 3       # pose-opt inliers
+B_REF_OBS = 4    # bound features in the reference KF (keyframe policy)
+B_OK = 5         # full-path success (all gates)
+
+
+class FusedStepOut(NamedTuple):
+    T_cw: dict            # optimized pose (valid when bundle[B_OK])
+    T_sa: dict            # sparse-align pose (fallback init when not ok)
+    velocity: dict        # T_cur_last from the optimized pose
+    T_c_ref: dict         # pose relative to the reference KF (trajectory)
+    fr_uv: jnp.ndarray    # [N, 2] direct-match positions (level 0)
+    fr_level: jnp.ndarray # [N]
+    fr_feat_mask: jnp.ndarray  # [N] inlier mask
+    fr_mp_idx: jnp.ndarray     # [N] map-point binding
+    mp_visible: jnp.ndarray    # [M] updated counters
+    mp_found: jnp.ndarray      # [M]
+    bundle: jnp.ndarray        # [8] float32 gate scalars
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fused_direct_step(ms, last_pyr, last_uv, last_mp_idx, last_feat_mask,
+                      T_last, velocity, cur_pyr, cand_idx, cand_valid,
+                      ref_kf, cfg: SlamConfig) -> FusedStepOut:
+    cam = cfg.camera
+    scales = tuple(float(s) for s in cfg.scale_factors)
+    inv_s2_tab = jnp.asarray(cfg.inv_level_sigma2)
+
+    # ---- stage 1: sparse direct frame-to-frame alignment -----------------
+    tracked = (last_mp_idx >= 0) & last_feat_mask
+    gate1 = jnp.sum(tracked.astype(jnp.int32))
+    mp_ids = jnp.where(tracked, last_mp_idx, 0)
+    pts_w = ms.mp_pos[mp_ids]
+    pts_last = lie.se3_apply(T_last, pts_w)
+    valid_sa = tracked & ms.mp_mask[mp_ids] & (pts_last[:, 2] > 0.05)
+
+    T_rel, _ = align.sparse_image_align(
+        velocity, last_pyr, cur_pyr, last_uv, pts_last, valid_sa, cam,
+        scales, max_level=min(cfg.n_levels - 1, 3))
+    xi = lie.se3_log(lie.se3_compose(T_rel, lie.se3_inverse(velocity)))
+    motion_ok = jnp.all(jnp.isfinite(xi)) & \
+        (jnp.linalg.norm(xi[3:]) <= 0.5) & (jnp.linalg.norm(xi[:3]) <= 1.0)
+    T_sa = lie.se3_compose(T_rel, T_last)
+
+    # ---- stage 2: direct local-map search + pose optimization ------------
+    uv_m, lvl_m, success, visible = map_ops.search_local_points_direct(
+        ms, cand_idx, T_sa, cur_pyr, cam, cfg.n_levels, cfg.scale_factor)
+    success = success & cand_valid
+    n_hit = jnp.sum(success.astype(jnp.int32))
+
+    pts_c = ms.mp_pos[cand_idx]
+    inv_s2 = inv_s2_tab[jnp.clip(lvl_m, 0, cfg.n_levels - 1)]
+    if jax.default_backend() == "tpu" and cam.bf == 0:
+        from ygz_tpu.ops import pallas_pose
+        T, inlier, n_in = pallas_pose.pose_optimization_fused(
+            T_sa, pts_c, uv_m, inv_s2, success,
+            cam.fx, cam.fy, cam.cx, cam.cy)
+    else:
+        T, inlier, n_in = ba.pose_optimization(
+            T_sa, pts_c, uv_m, jnp.full(uv_m.shape[:1], -1.0), inv_s2,
+            success, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+
+    # ---- frame feature table from the direct matches ----------------------
+    C = cand_idx.shape[0]
+    N = cfg.n_features
+    take = min(C, N)
+    fr_uv = jnp.zeros((N, 2)).at[:take].set(uv_m[:take])
+    fr_level = jnp.zeros((N,), jnp.int32).at[:take].set(lvl_m[:take])
+    fr_feat_mask = jnp.zeros((N,), bool).at[:take].set(inlier[:take])
+    fr_mp_idx = jnp.full((N,), -1, jnp.int32).at[:take].set(
+        jnp.where(inlier[:take], cand_idx[:take], -1))
+
+    # ---- bookkeeping -------------------------------------------------------
+    mp_visible = ms.mp_visible.at[cand_idx].add(
+        (visible & cand_valid).astype(jnp.int32))
+    mp_found = ms.mp_found.at[cand_idx].add(
+        (inlier & cand_valid).astype(jnp.int32))
+    velocity_new = lie.se3_compose(T, lie.se3_inverse(T_last))
+    T_ref = {"q": ms.kf_q[ref_kf], "t": ms.kf_t[ref_kf]}
+    T_c_ref = lie.se3_compose(T, lie.se3_inverse(T_ref))
+    ref_obs = jnp.sum(((ms.kf_mp_idx[ref_kf] >= 0)
+                       & ms.kf_feat_mask[ref_kf]).astype(jnp.int32))
+
+    ok = motion_ok & (gate1 >= 30) & (n_in >= 30)
+    bundle = jnp.stack([
+        gate1.astype(jnp.float32), motion_ok.astype(jnp.float32),
+        n_hit.astype(jnp.float32), n_in.astype(jnp.float32),
+        ref_obs.astype(jnp.float32), ok.astype(jnp.float32),
+        jnp.float32(0), jnp.float32(0)])
+    return FusedStepOut(
+        T_cw=T, T_sa=T_sa, velocity=velocity_new, T_c_ref=T_c_ref,
+        fr_uv=fr_uv, fr_level=fr_level, fr_feat_mask=fr_feat_mask,
+        fr_mp_idx=fr_mp_idx, mp_visible=mp_visible, mp_found=mp_found,
+        bundle=bundle)

@@ -13,6 +13,7 @@ batched cheirality counting over candidates x points.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -229,6 +230,8 @@ class InitResult(NamedTuple):
     used_h: jnp.ndarray      # bool, which model won
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_hypotheses", "min_good", "min_parallax_deg", "h_min_sv_ratio"))
 def initialize_two_view(uv1, uv2, mask, K,
                         n_hypotheses: int = 256, seed: int = 0,
                         min_good: int = 50, min_parallax_deg: float = 1.0,
@@ -236,8 +239,9 @@ def initialize_two_view(uv1, uv2, mask, K,
     """Full two-view bootstrap (reference Initializer::Initialize).
 
     uv1/uv2: [N, 2] matched pixels (N static capacity), mask validity.
-    Jit-compatible: hypothesis sampling uses a fixed PRNG key; candidate
-    disambiguation is a static 12-way (4 E + 8 H) masked argmax.
+    Jitted end-to-end (a per-attempt eager run costs minutes of dispatch
+    on a tunneled device): hypothesis sampling uses the traced seed;
+    candidate disambiguation is a static 12-way (4 E + 8 H) masked argmax.
     """
     N = uv1.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -327,9 +331,11 @@ def initialize_two_view(uv1, uv2, mask, K,
     # homography degeneracy gate: when the calibrated H is close to a pure
     # conjugate rotation (singular values d1 ~= d3), the Faugeras
     # decomposition is noise-dominated and produces spurious-parallax
-    # solutions; d1/d3 - 1 ~ |t|/d, so requiring d1/d3 > 1.08 demands a
-    # baseline of at least ~8% of the scene distance before a planar
-    # initialization is trusted.
+    # solutions (observed: x3.6 translation error at d1/d3 ~ 1.1);
+    # d1/d3 - 1 ~ |t|/d, so requiring d1/d3 > 1.08 demands a baseline of
+    # ~8% of the plane distance. The tracker layers a median-disparity
+    # gate on top (tracking._try_initialize), so marginal-baseline pairs
+    # never reach this solver during live initialization.
     sv = jnp.linalg.svd(jnp.linalg.inv(K) @ Hbest @ K, compute_uv=False)
     h_conditioned = (sv[0] / jnp.maximum(sv[2], 1e-9)) > h_min_sv_ratio
     model_ok = jnp.where(use_h, h_conditioned, True)

@@ -68,13 +68,19 @@ class LoopClosing:
             min_score = max(min(scores[k] for k in covis), 1e-4)
         else:
             min_score = 0.05
-        # candidates: good score, not covisible, not recent
+        # candidates: good score, not covisible, not temporally recent
+        # (recency by frame id — slot indices are not temporal once culled
+        # slots recycle)
         cand_mask = scores >= min_score
         for k in covis | {slot}:
             cand_mask[k] = False
-        for k in range(tracker.n_kf):
-            if abs(k - slot) <= 3:
-                cand_mask[k] = False
+        fid = np.asarray(ms.kf_frame_id)
+        alive = np.asarray(ms.kf_mask)
+        order = np.argsort(np.abs(fid - fid[slot]))
+        recent = [k for k in order if alive[k]][:4]  # slot + 3 nearest
+        for k in recent:
+            cand_mask[k] = False
+        cand_mask &= alive
         candidates = np.where(cand_mask)[0]
         if len(candidates) == 0:
             # one round of grace before dropping accumulated consistency:

@@ -278,3 +278,61 @@ def search_local_points_direct(ms: MapState, cand_idx, T_cw, pyr_cur,
 
 def _cam_center(T_cw):
     return -lie.quat_rotate(lie.quat_conj(T_cw["q"]), T_cw["t"])
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor",
+                                             "cam"))
+def refine_bound_observations(ms: MapState, slot, pyr, cam,
+                              n_levels: int, scale_factor: float,
+                              max_move: float = 3.0):
+    """Photometric refinement of a keyframe's bound observations: align
+    each feature position against its map point's canonical patch (warped
+    into this view) with batched KLT.
+
+    Detector corners carry ~0.5-1 px view-dependent localization bias —
+    the dominant noise source feeding triangulation and BA (measured on
+    the synthetic world: sigma ~0.85 px, exactly accounting for the
+    observed map depth spread). KLT against ONE shared appearance
+    template per point makes all of a point's observations consistent to
+    ~0.1-0.2 px. The reference gets this for free on direct-tracked
+    features (it describes at the aligned positions,
+    /root/reference/src/ORBextractor.cc:1031-1127); here the same
+    treatment applies to every bound feature of every new KF.
+
+    Returns the refined kf_uv row [N, 2].
+    """
+    mp = ms.kf_mp_idx[slot]
+    bound = (mp >= 0) & ms.kf_feat_mask[slot]
+    ids = jnp.where(bound, mp, 0)
+    uv_det = ms.kf_uv[slot]
+    T = {"q": ms.kf_q[slot], "t": ms.kf_t[slot]}
+
+    pos = ms.mp_pos[ids]
+    ref_kf = ms.mp_ref_kf[ids]
+    T_ref = {"q": ms.kf_q[ref_kf], "t": ms.kf_t[ref_kf]}
+    T_cur_ref = lie.se3_compose(T, lie.se3_inverse(T_ref))
+    pc_ref = lie.se3_apply(T_ref, pos)
+    uv_ref = jnp.stack(
+        [cam.fx * pc_ref[..., 0] / jnp.maximum(pc_ref[..., 2], 1e-6) + cam.cx,
+         cam.fy * pc_ref[..., 1] / jnp.maximum(pc_ref[..., 2], 1e-6) + cam.cy],
+        axis=-1)
+    A = align.affine_warp_matrix(uv_ref, jnp.maximum(pc_ref[..., 2], 1e-3),
+                                 T_cur_ref, cam, cam)
+    search_level = align.best_search_level(A, n_levels, scale_factor)
+    mp_lvl_scale = scale_factor ** ms.mp_level[ids].astype(jnp.float32)
+    srch_scale = scale_factor ** search_level.astype(jnp.float32)
+    patches = warp_stored_patches(ms.mp_patch[ids], A, mp_lvl_scale,
+                                  srch_scale)
+
+    uv_out = uv_det
+    n_ref = jnp.int32(0)
+    for lvl in range(n_levels):
+        sel = bound & (search_level == lvl)
+        s = 1.0 / (scale_factor ** lvl)
+        uv_new, conv = align.align2d(pyr[lvl], patches, uv_det * s, sel)
+        uv0 = uv_new / s
+        moved = jnp.linalg.norm(uv0 - uv_det, axis=-1)
+        ok = sel & conv & (moved < max_move * (scale_factor ** lvl))
+        uv_out = jnp.where(ok[:, None], uv0, uv_out)
+        n_ref = n_ref + jnp.sum(ok.astype(jnp.int32))
+    return uv_out, n_ref

@@ -28,6 +28,7 @@ from ygz_tpu.matching import search
 from ygz_tpu.pipeline import map_ops, mapstate
 from ygz_tpu.pipeline.initializer import triangulate
 from ygz_tpu.utils.config import SlamConfig
+from ygz_tpu.utils.log import logger
 
 WINDOW_KF_CAP = 32        # window + fixed ring capacity for local BA
 LOCAL_MP_CAP = 4096
@@ -39,6 +40,7 @@ class LocalMapping:
         # recently created points: (mp_id, kf_count_at_creation)
         self.recent: List[Tuple[int, int]] = []
         self.kf_count = 0
+        self.last_stats: dict = {}   # per-KF diagnostics (logging/metrics)
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, tracker, slot: int, fr):
@@ -54,6 +56,13 @@ class LocalMapping:
         tracker.ms = map_ops.refresh_map_points(
             tracker.ms, jnp.ones((cfg.max_map_points,), bool),
             cfg.scale_factor, cfg.n_levels)
+        if logger.isEnabledFor(10):  # DEBUG
+            st = self.last_stats.get(slot, {})
+            logger.debug(
+                "KF %d: tri pairs=%s matches=%s created=%s skipped_bl=%s "
+                "alive_mp=%d", slot, st.get("pairs"), st.get("matches"),
+                st.get("created"), st.get("skipped_baseline"),
+                int(np.asarray(tracker.ms.mp_mask).sum()))
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, tracker, slot: int):
@@ -80,6 +89,7 @@ class LocalMapping:
             if redundant > 0.9:
                 tracker.ms = _kill_keyframe(tracker.ms, k)
                 tracker.ms = map_ops.bind_observations(tracker.ms)
+                tracker.on_keyframe_killed(k)
                 break  # at most one per round, like the reference's pacing
 
     # ------------------------------------------------------------------
@@ -126,9 +136,9 @@ class LocalMapping:
         n_neighbors = 20 if cfg.camera.bf == 0 else 10
         neighbors = self._covisible(tracker, slot, n_neighbors)
         if not neighbors:
-            # bootstrap: use the previous KF
-            prev = slot - 1
-            if prev < 0:
+            # bootstrap: use the temporally nearest alive KF
+            prev = tracker._nearest_alive_kf(slot)
+            if prev == slot:
                 return
             neighbors = [prev]
 
@@ -148,6 +158,17 @@ class LocalMapping:
             if dvalid.any() else 1.0
 
         free1 = ms.kf_feat_mask[slot] & (ms.kf_mp_idx[slot] < 0)
+        if getattr(tracker, "depth_exact", False):
+            # depth-SENSOR features (RGB-D) are excluded from parallax
+            # triangulation: their depth is already known to sensor
+            # accuracy, and a KF-to-KF baseline a few frames long is far
+            # noisier — on the RGB-D e2e, letting culled depth points get
+            # re-triangulated this way warped the map scale to 0.5x.
+            # Stereo keeps triangulating: its SAD depth is itself a
+            # one-baseline triangulation, no better than the KF pair's.
+            free1 = free1 & ~(ms.kf_ur[slot] >= 0)
+        stats = self.last_stats.setdefault(slot, dict(
+            pairs=0, skipped_baseline=0, matches=0, created=0))
         for k2 in neighbors:
             T2 = {"q": ms.kf_q[k2], "t": ms.kf_t[k2]}
             c2 = map_ops._cam_center(T2)
@@ -156,7 +177,9 @@ class LocalMapping:
             # scene depth (reference ratioBaselineDepth < 0.01 skip,
             # /root/reference/src/LocalMapping.cc:1010-1033)
             if baseline < 0.01 * med_depth:
+                stats["skipped_baseline"] += 1
                 continue
+            stats["pairs"] += 1
             ms = tracker.ms
             free2 = ms.kf_feat_mask[k2] & (ms.kf_mp_idx[k2] < 0)
             F12 = _fundamental(T1, T2, K)
@@ -165,18 +188,23 @@ class LocalMapping:
                 ms.kf_desc[k2], ms.kf_uv[k2], ms.kf_angle[k2], free2,
                 F12, ms.kf_level[k2], lvl_sigma2)
             n_match = int(jnp.sum(res.mask))
+            stats["matches"] += n_match
             if n_match < 5:
                 continue
 
-            pos, good = _triangulate_checked(
+            pos, good, gates = _triangulate_checked(
                 T1, T2, K, ms.kf_uv[slot], ms.kf_uv[k2][res.idx],
                 res.mask, ms.kf_level[slot],
                 ms.kf_level[k2][res.idx], lvl_sigma2,
                 cfg.scale_factor)
+            if logger.isEnabledFor(10):
+                logger.debug("  pair (%d,%d): %s", slot, k2,
+                             {k: int(v) for k, v in gates.items()})
             good_np = np.asarray(good)
             n_new = int(good_np.sum())
             if n_new == 0:
                 continue
+            stats["created"] += n_new
             idx1 = np.where(good_np)[0]
             slots = tracker.alloc_mp_slots(n_new)
             idx1 = idx1[:len(slots)]
@@ -212,72 +240,96 @@ class LocalMapping:
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, tracker, slot: int):
         """Reference SearchInNeighbors (/root/reference/src/LocalMapping.cc:
-        1228-1328): project the new KF's points into neighbors (and back)
-        to bind missed observations and merge duplicates."""
-        cfg = self.cfg
+        1228-1328), both directions: (a) the new KF's points project into
+        each neighbor, (b) the union of the neighbors' points
+        (vpFuseCandidates) projects into the new KF."""
         neighbors = self._covisible(tracker, slot, 10)
+        slot_ids = self._kf_point_ids(tracker.ms, [slot])
+        # forward: new KF's points into each neighbor (and itself, which
+        # binds re-detected features of its own points)
         for k2 in neighbors + [slot]:
-            # project the new KF's points into each neighbor (and into the
-            # new KF itself, covering the reverse direction)
-            ms = tracker.ms
-            src_ids = np.unique(np.asarray(ms.kf_mp_idx[slot]))
-            src_ids = src_ids[src_ids >= 0]
-            if len(src_ids) == 0:
-                continue
-            C = LOCAL_MP_CAP
-            idsp = np.full((C,), -1, np.int64)
-            idsp[:min(len(src_ids), C)] = src_ids[:C]
-            cand = jnp.asarray(np.where(idsp >= 0, idsp, 0).astype(np.int32))
-            cand_valid = jnp.asarray(idsp >= 0) & ms.mp_mask[cand]
-
-            T2 = {"q": ms.kf_q[k2], "t": ms.kf_t[k2]}
-            pc = lie.se3_apply(T2, ms.mp_pos[cand])
-            z = pc[:, 2]
-            uv = jnp.stack(
-                [cfg.camera.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cfg.camera.cx,
-                 cfg.camera.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cfg.camera.cy],
-                axis=-1)
-            visible = cand_valid & (z > 0.05) & \
-                (uv[:, 0] >= 0) & (uv[:, 0] < cfg.camera.width) & \
-                (uv[:, 1] >= 0) & (uv[:, 1] < cfg.camera.height)
-            dist = jnp.linalg.norm(ms.mp_pos[cand] - map_ops._cam_center(T2)[None],
-                                   axis=-1)
-            pred = mapstate.predict_scale_level(dist, ms.mp_max_dist[cand],
-                                                cfg.scale_factor, cfg.n_levels)
-            radius = 3.0 * tracker.scales[pred]
-            res = search.fuse_candidates(
-                ms.mp_desc[cand], uv, radius, pred, visible,
-                ms.kf_desc[k2], ms.kf_uv[k2], ms.kf_level[k2],
-                ms.kf_feat_mask[k2])
-            # binding/merging decision (host): feature already bound?
-            m = np.asarray(res.mask)
-            tgt = np.asarray(res.idx)
-            existing = np.asarray(ms.kf_mp_idx[k2])
-            obs_cnt = np.asarray(ms.mp_obs_count)
-            candn = np.asarray(cand)
-            bind_f, bind_mp, merges = [], [], []
-            for i in np.where(m)[0]:
-                mp_new = int(candn[i])
-                f = int(tgt[i])
-                cur = int(existing[f])
-                if cur < 0:
-                    bind_f.append(f)
-                    bind_mp.append(mp_new)
-                elif cur != mp_new:
-                    # merge: keep the more-observed point
-                    a, b = (mp_new, cur) if obs_cnt[mp_new] >= obs_cnt[cur] \
-                        else (cur, mp_new)
-                    merges.append((a, b))   # a absorbs b
-            if bind_f:
-                tracker.ms = dataclasses.replace(
-                    tracker.ms,
-                    kf_mp_idx=tracker.ms.kf_mp_idx.at[
-                        k2, jnp.asarray(bind_f)].set(
-                        jnp.asarray(bind_mp, dtype=jnp.int32)))
-            for keep, absorb in merges:
-                tracker.ms = _replace_map_point(tracker.ms, absorb, keep)
-                tracker.mp_alloc[absorb] = False
+            self._fuse_into(tracker, k2, slot_ids)
+        # reverse: neighbors' points into the new KF
+        if neighbors:
+            neigh_ids = self._kf_point_ids(tracker.ms, neighbors)
+            self._fuse_into(tracker, slot, neigh_ids)
         tracker.ms = map_ops.bind_observations(tracker.ms)
+
+    @staticmethod
+    def _kf_point_ids(ms, kfs: List[int]) -> np.ndarray:
+        ids = np.unique(np.concatenate(
+            [np.asarray(ms.kf_mp_idx[k]) for k in kfs]))
+        ids = ids[ids >= 0]
+        return ids[np.asarray(ms.mp_mask)[ids]]
+
+    def _fuse_into(self, tracker, k2: int, src_ids: np.ndarray):
+        """Project `src_ids` map points into KF k2 and fuse: bind free
+        features, merge duplicates (more-observed point wins). Points
+        already bound in k2 are skipped — a point must not bind to a
+        second feature of the same KF (would double-weight it in BA)."""
+        cfg = self.cfg
+        ms = tracker.ms
+        if len(src_ids) == 0:
+            return
+        C = LOCAL_MP_CAP
+        idsp = np.full((C,), -1, np.int64)
+        idsp[:min(len(src_ids), C)] = src_ids[:C]
+        cand = jnp.asarray(np.where(idsp >= 0, idsp, 0).astype(np.int32))
+        cand_valid = jnp.asarray(idsp >= 0) & ms.mp_mask[cand]
+
+        T2 = {"q": ms.kf_q[k2], "t": ms.kf_t[k2]}
+        pc = lie.se3_apply(T2, ms.mp_pos[cand])
+        z = pc[:, 2]
+        uv = jnp.stack(
+            [cfg.camera.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cfg.camera.cx,
+             cfg.camera.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cfg.camera.cy],
+            axis=-1)
+        visible = cand_valid & (z > 0.05) & \
+            (uv[:, 0] >= 0) & (uv[:, 0] < cfg.camera.width) & \
+            (uv[:, 1] >= 0) & (uv[:, 1] < cfg.camera.height)
+        dist = jnp.linalg.norm(ms.mp_pos[cand] - map_ops._cam_center(T2)[None],
+                               axis=-1)
+        pred = mapstate.predict_scale_level(dist, ms.mp_max_dist[cand],
+                                            cfg.scale_factor, cfg.n_levels)
+        radius = 3.0 * tracker.scales[pred]
+        res = search.fuse_candidates(
+            ms.mp_desc[cand], uv, radius, pred, visible,
+            ms.kf_desc[k2], ms.kf_uv[k2], ms.kf_level[k2],
+            ms.kf_feat_mask[k2])
+        # binding/merging decision (host): feature already bound?
+        m = np.asarray(res.mask)
+        tgt = np.asarray(res.idx)
+        existing = np.asarray(ms.kf_mp_idx[k2])
+        bound_here = set(int(x) for x in existing[existing >= 0])
+        obs_cnt = np.asarray(ms.mp_obs_count)
+        candn = np.asarray(cand)
+        bind_f, bind_mp, merges = [], [], []
+        for i in np.where(m)[0]:
+            mp_new = int(candn[i])
+            f = int(tgt[i])
+            cur = int(existing[f])
+            if cur < 0:
+                if mp_new in bound_here:
+                    continue  # already observed via another feature of k2
+                bind_f.append(f)
+                bind_mp.append(mp_new)
+                bound_here.add(mp_new)
+            elif cur != mp_new:
+                # merge: keep the more-observed point
+                a, b = (mp_new, cur) if obs_cnt[mp_new] >= obs_cnt[cur] \
+                    else (cur, mp_new)
+                merges.append((a, b))   # a absorbs b
+        if bind_f:
+            tracker.ms = dataclasses.replace(
+                tracker.ms,
+                kf_mp_idx=tracker.ms.kf_mp_idx.at[
+                    k2, jnp.asarray(bind_f)].set(
+                    jnp.asarray(bind_mp, dtype=jnp.int32)))
+        for keep, absorb in merges:
+            if keep == absorb:
+                continue
+            tracker.ms = _replace_map_point(tracker.ms, absorb, keep)
+            tracker.mp_alloc[absorb] = False
 
     # ------------------------------------------------------------------
     def _local_ba(self, tracker, slot: int):
@@ -395,10 +447,16 @@ def _triangulate_checked(T1, T2, K, uv1, uv2, mask, lvl1, lvl2, lvl_sigma2,
     # parallax >= ~1.5 deg: below that, two-view depth is noise-dominated
     # and poisons BA (the reference's 0.9998 gate (~1.1 deg) plus its
     # baseline/median-depth pre-gate, folded into one stricter threshold)
-    good = (mask & finite & (pc1[:, 2] > 1e-3) & (pc2[:, 2] > 1e-3)
-            & (cosp < 0.99966) & (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
-            & scale_ok)
-    return X, good
+    depth_ok = (pc1[:, 2] > 1e-3) & (pc2[:, 2] > 1e-3)
+    par_ok = cosp < 0.99966
+    chi_ok = (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
+    good = mask & finite & depth_ok & par_ok & chi_ok & scale_ok
+
+    def cnt(x):
+        return jnp.sum((mask & x).astype(jnp.int32))
+    gates = dict(n=cnt(mask), depth=cnt(depth_ok), parallax=cnt(par_ok),
+                 chi2=cnt(chi_ok), scale=cnt(scale_ok))
+    return X, good, gates
 
 
 def _gather_local_problem(ms, sel, kf_mask, kf_fixed, local_ids, mp_mask,
@@ -470,21 +528,45 @@ def _kill_map_points(ms, ids):
 
 @jax.jit
 def _kill_keyframe(ms, k):
-    """Remove a redundant keyframe: mask the slot, drop its observations.
-    (Parent/spanning-tree reassignment is implicit: the temporal chain and
-    covisibility are recomputed from the arrays.)"""
-    return dataclasses.replace(
+    """Remove a redundant keyframe: mask the slot, drop its observations,
+    and re-point map points that used it as their reference KF to another
+    alive observer (the reference reassigns mpRefKF in SetBadFlag) —
+    stale references would break patch warps and scale ranges once the
+    slot is recycled. (Parent/spanning-tree reassignment is implicit: the
+    temporal chain and covisibility are recomputed from the arrays.)"""
+    ms = dataclasses.replace(
         ms,
         kf_mask=ms.kf_mask.at[k].set(False),
         kf_feat_mask=ms.kf_feat_mask.at[k].set(False),
         kf_mp_idx=ms.kf_mp_idx.at[k].set(-1))
+    # first alive observer per map point (segment_min over observations)
+    K, N = ms.kf_mp_idx.shape
+    M = ms.mp_pos.shape[0]
+    valid = ms.kf_feat_mask & (ms.kf_mp_idx >= 0) & ms.kf_mask[:, None]
+    mp = jnp.where(valid, ms.kf_mp_idx, M).reshape(-1)
+    kf = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None],
+                          (K, N)).reshape(-1)
+    first_obs = jax.ops.segment_min(
+        jnp.where(valid.reshape(-1), kf, K), mp, num_segments=M + 1)[:M]
+    new_ref = jnp.where(first_obs < K, first_obs.astype(jnp.int32),
+                        ms.mp_ref_kf)
+    mp_ref_kf = jnp.where(ms.mp_ref_kf == k, new_ref, ms.mp_ref_kf)
+    return dataclasses.replace(ms, mp_ref_kf=mp_ref_kf)
 
 
 @jax.jit
 def _replace_map_point(ms, absorb, keep):
     """MapPoint::Replace (/root/reference/include/MapPoint.h:89-93): every
-    observation of `absorb` re-points to `keep`; absorb dies."""
+    observation of `absorb` re-points to `keep`; absorb dies. A KF that
+    observed BOTH keeps only its first binding of `keep` (the reference
+    erases the duplicate observation in Replace) — a point bound to two
+    features of one KF would double-weight it in BA."""
     idx = ms.kf_mp_idx
     kf_mp_idx = jnp.where(idx == absorb, keep, idx)
+    hits = kf_mp_idx == keep                               # [K, N]
+    first = jnp.argmax(hits, axis=1)                        # [K]
+    n = kf_mp_idx.shape[1]
+    dup = hits & (jnp.arange(n)[None, :] != first[:, None])
+    kf_mp_idx = jnp.where(dup, -1, kf_mp_idx)
     mp_mask = ms.mp_mask.at[absorb].set(False)
     return dataclasses.replace(ms, kf_mp_idx=kf_mp_idx, mp_mask=mp_mask)

@@ -101,6 +101,29 @@ def capacities(ms: MapState) -> Tuple[int, int, int]:
     return ms.kf_q.shape[0], ms.mp_pos.shape[0], ms.kf_uv.shape[1]
 
 
+def grow(ms: MapState, kf_factor: int = 1, mp_factor: int = 1) -> MapState:
+    """Return a MapState with capacities multiplied by the given factors
+    (power-of-two bucketing — long sequences outgrow the initial static
+    shapes; jitted programs retrace once per bucket, so the number of
+    recompiles over a run is O(log N)). Existing contents are preserved;
+    new slots carry the same empty defaults as make_empty."""
+    K, M, N = capacities(ms)
+    W = ms.kf_bow.shape[1]
+    fresh = make_empty(K * kf_factor, M * mp_factor, N, W,
+                       dtype=ms.kf_t.dtype)
+
+    def merge(name):
+        old = getattr(ms, name)
+        new = getattr(fresh, name)
+        if old.shape == new.shape:
+            return old
+        idx = tuple(slice(0, s) for s in old.shape)
+        return new.at[idx].set(old)
+
+    return MapState(**{f.name: merge(f.name)
+                       for f in dataclasses.fields(MapState)})
+
+
 # ---------------------------------------------------------------------------
 # covisibility (computed on demand from kf_mp_idx — replaces the
 # reference's cached mConnectedKeyFrameWeights, KeyFrame::UpdateConnections)

@@ -29,9 +29,14 @@ class System:
     def __init__(self, cfg: SlamConfig,
                  vocab: Optional[vocab_mod.Vocabulary] = None,
                  sensor: int = MONOCULAR,
-                 use_loop_closing: bool = True):
+                 use_loop_closing: bool = True,
+                 pipelined: bool = False):
+        """pipelined=True defers tracking-gate readbacks by one frame so
+        consecutive frames overlap on device (throughput mode for offline
+        dataset runs and benchmarking; see Tracker.track_pipelined)."""
         self.cfg = cfg
         self.sensor = sensor
+        self.pipelined = pipelined
         if vocab is None:
             # a random-descriptor vocabulary still produces valid word ids;
             # retrieval quality improves once a trained one is supplied
@@ -60,11 +65,19 @@ class System:
     def track_monocular(self, img: np.ndarray, timestamp: float):
         """img: [H, W] grayscale (uint8 or float). Returns T_cw or None."""
         fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg)
+        if self.pipelined and not self.cfg.use_imu:
+            T = self.tracker.track_pipelined(fr)
+            if self.loop_closer is not None and self.tracker.n_kf > 0 and \
+                    self.tracker.last_kf_frame_id >= fr.frame_id - 1:
+                self.loop_closer.on_new_keyframe(self.tracker,
+                                                 self.tracker.ref_kf)
+            return T
         T = self.tracker.track(fr)
         if self.loop_closer is not None and self.tracker.n_kf > 0 and \
                 self.tracker.last_kf_frame_id == fr.frame_id:
             self.loop_closer.on_new_keyframe(self.tracker,
                                              self.tracker.ref_kf)
+        self._maybe_auto_reset()
         return T
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
@@ -76,23 +89,35 @@ class System:
             # /root/reference/src/Frame.cc:773-805); nearest-neighbor so
             # occlusion boundaries don't blend
             depth = frame_mod.undistort_depth(depth, self.cfg.camera)
-        fr = frame_mod.extract_features(fr, self.cfg, depth_img=depth)
-        T = self.tracker.track(fr)
+        # depth rides along for LAZY extraction: the frame tracks direct
+        # (photometric) like mono — the reference's hybrid tracker does
+        # the same for all sensors (/root/reference/src/Tracking.cc:
+        # 371-523) — and pays detection + depth association only at
+        # keyframe creation or on a feature fallback
+        fr.depth_img = jnp.asarray(np.asarray(depth), jnp.float32)
+        if self.pipelined:
+            T = self.tracker.track_pipelined(fr)
+        else:
+            T = self.tracker.track(fr)
         if self.loop_closer is not None and self.tracker.n_kf > 0 and \
                 self.tracker.last_kf_frame_id == fr.frame_id:
             self.loop_closer.on_new_keyframe(self.tracker, self.tracker.ref_kf)
+        self._maybe_auto_reset()
         return T
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float):
         fr = frame_mod.make_frame(img_l, self._next_id(), timestamp, self.cfg)
         right = frame_mod.make_frame(img_r, -1, timestamp, self.cfg)
-        fr = frame_mod.extract_features(fr, self.cfg,
-                                        right_pyr=right.pyramid)
-        T = self.tracker.track(fr)
+        fr.right_pyr = right.pyramid
+        if self.pipelined:
+            T = self.tracker.track_pipelined(fr)
+        else:
+            T = self.tracker.track(fr)
         if self.loop_closer is not None and self.tracker.n_kf > 0 and \
                 self.tracker.last_kf_frame_id == fr.frame_id:
             self.loop_closer.on_new_keyframe(self.tracker, self.tracker.ref_kf)
+        self._maybe_auto_reset()
         return T
 
     def track_mono_vi(self, img: np.ndarray, imu: np.ndarray,
@@ -112,19 +137,44 @@ class System:
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
-        """Track only; map maintenance suspended (reference
-        ActivateLocalizationMode)."""
+        """Track only: map maintenance suspended AND no keyframe insertion
+        (the reference's mbOnlyTracking never reaches NeedNewKeyFrame,
+        /root/reference/src/Tracking.cc:1318-1325)."""
         self.localization_only = True
         self.tracker.mapper = None
+        self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
         self.tracker.mapper = self.mapper
+        self.tracker.localization_only = False
 
     def reset(self):
+        """Full reset mirroring the reference's System/Tracking::Reset
+        (/root/reference/src/Tracking.cc:1896-1944): new map, new mapper,
+        new loop closer, sensor-appropriate tracker."""
         cfg = self.cfg
         self.mapper = LocalMapping(cfg)
-        self.tracker = Tracker(cfg, self.vocab, mapper=self.mapper)
+        if cfg.use_imu:
+            from ygz_tpu.pipeline.vio import VioTracker
+            self.tracker = VioTracker(cfg, self.vocab, mapper=self.mapper)
+        else:
+            self.tracker = Tracker(cfg, self.vocab, mapper=self.mapper)
+        if self.loop_closer is not None:
+            from ygz_tpu.pipeline.loopclosing import LoopClosing
+            self.loop_closer = LoopClosing(cfg)
+            self.mapper.loop_closer = self.loop_closer
+        if self.localization_only:
+            self.tracker.mapper = None
+            self.tracker.localization_only = True
+
+    def _maybe_auto_reset(self):
+        """Reference auto-reset: track lost soon after initialization with
+        <= 5 KFs in the map -> start over (/root/reference/src/Tracking.cc:
+        619-627)."""
+        if (self.tracker.state == LOST and 0 < self.tracker.n_kf <= 5
+                and not self.localization_only):
+            self.reset()
 
     def shutdown(self):
         pass  # no threads to join: the pipeline is synchronous
@@ -139,6 +189,8 @@ class System:
         """Re-anchor per-frame relative poses through the (possibly
         loop-corrected) keyframe poses, as the reference does at save time
         (/root/reference/src/System.cc:398-417)."""
+        if hasattr(self.tracker, "flush_pipeline"):
+            self.tracker.flush_pipeline()
         ms = self.tracker.ms
         out = []
         for rec in self.tracker.trajectory:

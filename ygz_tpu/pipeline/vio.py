@@ -56,10 +56,9 @@ class VioTracker(Tracker):
         self.gw = jnp.array([0.0, 0.0, -cfg.gravity])
         self.bg = jnp.zeros(3)
         self.ba = jnp.zeros(3)
-        # per-KF slots: NavState + preintegration from the previous KF
-        K = cfg.max_keyframes
-        self.kf_ns: List[Optional[ns_mod.NavState]] = [None] * K
-        self.kf_pre: List[Optional[pre_mod.PreintState]] = [None] * K
+        # per-KF state keyed by slot (dict: capacities can grow)
+        self.kf_ns: dict = {}    # slot -> NavState
+        self.kf_pre: dict = {}   # slot -> PreintState from the previous KF
         self.kf_order: List[int] = []   # KF slots in temporal order
         self.imu_since_kf: List[np.ndarray] = []
         self.imu_since_frame: Optional[np.ndarray] = None
@@ -286,15 +285,24 @@ class VioTracker(Tracker):
         ns0 = ns_mod.tcw_to_navstate(fr.T_cw, self.Tbc,
                                      V=ns_pred.V, bg=self.bg, ba=self.ba)
         cam = cfg.camera
+        # the prior anchors the current navstate to its IMU PREDICTION
+        # from the previous frame's marginalized estimate (reference
+        # EdgeNavStatePrior built from the last frame's estimate +
+        # mMargCovInv, /root/reference/src/Optimizer.cc:560-618) — NOT to
+        # the current linearization point, which would zero the residual
+        # and turn the prior into pure damping
         ns, inlier, n_in, H = vi_ba.pose_optimization_vi(
             ns0, self.last_ns, pre_f, self.gw, self.Tbc,
             pts, fr.uv, inv_s2, tracked & self.ms.mp_mask[ids],
             cam.fx, cam.fy, cam.cx, cam.cy,
             prior_H=self.prior_H,
-            prior_ns=None if self.prior_H is None else ns0,
+            prior_ns=None if self.prior_H is None else ns_pred,
             bias_hat=(self.bg, self.ba))
         fr.T_cw = ns_mod.navstate_to_tcw(ns, self.Tbc)
         fr.mp_idx = jnp.where(inlier | ~tracked, fr.mp_idx, -1)
         self.last_ns = ns
-        self.prior_H = H * 0.5  # discounted prior, as a mild regularizer
+        # keep the vision+IMU information as the next frame's prior; the
+        # discount approximates marginalizing out the map points the
+        # reference does exactly (its Hessian is vision-only x2 inflated)
+        self.prior_H = H * 0.5
         self.last_inliers = int(n_in)

@@ -39,6 +39,16 @@ def load_map(path: str, tracker) -> None:
     tracker.ref_kf = int(z["_ref_kf"])
     tracker.mp_alloc = z["_mp_alloc"]
     tracker.last_kf_frame_id = int(z["_last_kf_frame_id"])
+    # slot bookkeeping derived from the mask (older checkpoints may have
+    # been saved before slot recycling existed)
+    mask = np.asarray(tracker.ms.kf_mask)
+    alive = np.where(mask)[0]
+    tracker.kf_next = int(alive.max()) + 1 if len(alive) else 0
+    tracker.kf_free = [int(k) for k in range(tracker.kf_next) if not mask[k]]
+    tracker.n_kf = len(alive)
+    # capacities may differ from the constructing config (growth)
+    tracker.cfg.max_keyframes = int(mask.shape[0])
+    tracker.cfg.max_map_points = int(tracker.mp_alloc.shape[0])
     from ygz_tpu.pipeline import tracking
     tracker.state = tracking.LOST if tracker.n_kf > 0 \
         else tracking.NOT_INITIALIZED

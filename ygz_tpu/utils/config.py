@@ -33,6 +33,11 @@ class SlamConfig:
     # tracking
     cache_features: int = 150          # Tracking.CacheFeatures direct-cache th
     init_min_matches: int = 100        # monocular-init match gate
+    reloc_min_inliers: Optional[int] = None  # relocalization accept bar;
+                                       # None -> 5% of n_features floored
+                                       # at 20 (the reference's nGood >= 50
+                                       # assumes 1000 features,
+                                       # src/Tracking.cc:1880)
     th_depth: float = 35.0
     depth_map_factor: float = 1.0      # RGBD depth scaling (TUM: 5000)
     use_dist_k6: bool = False
@@ -58,6 +63,14 @@ class SlamConfig:
     # detection grid
     detect_cell: int = 32
     detect_per_cell: int = 4
+
+    @property
+    def reloc_accept(self) -> int:
+        """Relocalization inlier accept bar, scaled to the feature budget
+        (the reference's 50 is 5% of its 1000 features)."""
+        if self.reloc_min_inliers is not None:
+            return self.reloc_min_inliers
+        return max(20, self.n_features // 20)
 
     @property
     def n_words(self) -> int:
