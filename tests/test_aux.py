@@ -167,3 +167,54 @@ class TestLiveViewer:
             assert png[:8] == b"\x89PNG\r\n\x1a\n"
         finally:
             v.stop()
+
+
+class TestShippedConfigs:
+    def test_all_dataset_yamls_parse(self):
+        """Every YAML in configs/ must parse into a coherent SlamConfig
+        (mirrors the reference's Examples/*/*.yaml contract)."""
+        import glob
+        import os
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+        assert len(paths) >= 10, paths
+        for p in paths:
+            cfg = load_config(p)
+            assert cfg.camera.fx > 0 and cfg.camera.fy > 0, p
+            assert cfg.camera.width > 0 and cfg.camera.height > 0, p
+            assert cfg.n_features >= 500, p
+            assert cfg.fps > 0, p
+            if "stereo" in p or "rgbd" in p:
+                assert cfg.camera.bf > 0 or cfg.depth_map_factor > 0, p
+            if "_vi" in p:
+                assert cfg.use_imu and cfg.Tbc is not None, p
+
+
+class TestCapacityGrowth:
+    def test_keyframe_capacity_growth(self):
+        """Outgrowing max_keyframes triggers a power-of-two MapState
+        rebuild instead of silently refusing keyframes."""
+        import dataclasses as dc
+        import jax.numpy as jnp
+        from ygz_tpu.pipeline import mapstate
+        from ygz_tpu.pipeline.tracking import Tracker
+        from ygz_tpu.matching import vocabulary
+
+        cfg = stereo_config()
+        cfg = dc.replace(cfg, max_keyframes=4, max_map_points=512)
+        vocab = vocabulary.train_vocabulary(
+            np.random.RandomState(0).randint(
+                0, 2**32, (256, 8)).astype(np.uint32),
+            k=cfg.vocab_k, L=cfg.vocab_L)
+        tr = Tracker(cfg, vocab)
+        for i in range(6):
+            slot = tr.alloc_kf_slot()
+            tr.n_kf += 1
+            assert slot == i
+        assert cfg.max_keyframes == 8
+        assert tr.ms.kf_q.shape[0] == 8
+        # mp growth
+        taken = tr.alloc_mp_slots(600)
+        assert len(taken) == 600
+        assert cfg.max_map_points == 1024
+        assert tr.ms.mp_pos.shape[0] == 1024
