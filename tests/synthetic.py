@@ -41,8 +41,10 @@ def make_landmark_texture(seed=0, size=(640, 900), n_marks=160):
     place recognizer)."""
     rng = np.random.RandomState(seed)
     from scipy.ndimage import gaussian_filter
-    base = gaussian_filter(rng.rand(*size).astype(np.float32), 6.0)
-    base = 90.0 + 60.0 * (base - base.min()) / max(np.ptp(base), 1e-6)
+    # corner-rich but contrast-compressed mosaic base: enough texture for
+    # the tracker between landmarks, while the full-contrast stamps
+    # dominate the BoW signature of each region
+    base = make_texture(seed, size) * 0.45 + 60.0
     tex = base
     H, W = size
     for _ in range(n_marks):
@@ -59,12 +61,15 @@ def make_landmark_texture(seed=0, size=(640, 900), n_marks=160):
 
 def circuit_trajectory(n_frames: int, width: float = 1.6,
                        height: float = 1.0, dt: float = 0.1,
-                       overlap: float = 0.25):
+                       overlap: float = 0.25, smooth: int = 15):
     """Rectangular circuit over the plane returning to (and re-tracing)
     the start — a genuine loop for loop-closure tests. The final
-    `overlap` fraction of a side re-traverses the first leg."""
+    `overlap` fraction of a side re-traverses the first leg. Corners are
+    rounded by a `smooth`-frame box filter: a hard 90-degree turn is a
+    velocity step that breaks any constant-velocity motion model (and
+    real rigs bank through turns)."""
     per = 2.0 * (width + height) + overlap * width
-    out = []
+    xs, ys = [], []
     for i in range(n_frames):
         d = per * i / max(n_frames - 1, 1)
         if d < width:
@@ -77,9 +82,17 @@ def circuit_trajectory(n_frames: int, width: float = 1.6,
             x, y = 0.0, height - (d - 2 * width - height)
         else:
             x, y = d - 2 * (width + height), 0.0
-        x -= width / 2.0
-        y -= height / 2.0
-        xi = jnp.asarray(np.array([x, y, 0.0, 0.0, 0.0, 0.0], np.float32))
+        xs.append(x - width / 2.0)
+        ys.append(y - height / 2.0)
+    if smooth > 1:
+        k = np.ones(smooth) / smooth
+        pad = smooth // 2
+        xs = np.convolve(np.pad(xs, pad, mode="edge"), k, "valid")
+        ys = np.convolve(np.pad(ys, pad, mode="edge"), k, "valid")
+    out = []
+    for i in range(n_frames):
+        xi = jnp.asarray(np.array([xs[i], ys[i], 0.0, 0.0, 0.0, 0.0],
+                                  np.float32))
         T_wc = lie.se3_exp(xi)
         out.append((i * dt, lie.se3_inverse(T_wc)))
     return out
@@ -131,7 +144,7 @@ def _pixel_rays(cam: Camera):
 
 
 def render_with_depth(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
-                      seed: int = 0):
+                      seed: int = 0, fg_landmarks: bool = False):
     """Like render(three_d=True) but also returns the depth map (camera-z)."""
     H, W = cam.height, cam.width
     rays = _pixel_rays(cam)
@@ -142,7 +155,7 @@ def render_with_depth(tex, T_cw, cam: Camera = CAM, plane_z: float = PLANE_Z,
     texel_bg, tt_bg = _plane_hit(tex, origin, dirs, plane_z, tex.shape)
     img = bilinear_sample(jnp.asarray(tex), texel_bg)
     depth = tt_bg  # rays have unit camera-z, so t == camera depth
-    occ, fg_tex = _fg_layer(seed)
+    occ, fg_tex = _fg_layer(seed, landmarks=fg_landmarks)
     texel_fg, tt_fg = _plane_hit(fg_tex, origin, dirs, plane_z * 2.0 / 3.0,
                                  fg_tex.shape)
     fg_val = bilinear_sample(jnp.asarray(fg_tex), texel_fg)

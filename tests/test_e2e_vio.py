@@ -104,3 +104,30 @@ class TestVio:
         tr = sys_.tracker
         recs = [r for r in tr.trajectory if not r.get("lost")]
         assert len(recs) > 60
+
+    def test_metric_scale_recovered_e2e(self, vio_run):
+        """The tracker's OWN synchronous TryInitVIO (no ground-truth
+        assist) must fire and rescale the map to metric units: the
+        post-init trajectory matches ground truth under an SE3 (no
+        scale) alignment, and the residual Sim3 scale fit is ~1."""
+        from ygz_tpu.eval import ate as ate_mod
+        cfg, sys_, P, qs = vio_run
+        tr = sys_.tracker
+        assert tr.vins_inited, "VI init never fired end-to-end"
+        # evaluate the post-init tail of the trajectory
+        recs = [r for r in tr.trajectory if not r.get("lost")]
+        t_init = cfg.vins_init_time
+        est = [e for e in sys_.get_trajectory() if e[0] >= t_init]
+        gt = []
+        for i in range(len(P) // STEPS_PER_FRAME):
+            ts = i / FPS
+            if ts < t_init:
+                continue
+            k = i * STEPS_PER_FRAME
+            T_wb = {"q": jnp.asarray(qs[k]), "t": jnp.asarray(P[k])}
+            gt.append((ts, np.asarray(lie.se3_matrix(T_wb))))
+        res7 = ate_mod.ate_rmse(est, gt, with_scale=True, max_dt=0.05)
+        assert res7["n_pairs"] >= 20
+        assert abs(res7["scale"] - 1.0) < 0.15, res7
+        res6 = ate_mod.ate_rmse(est, gt, with_scale=False, max_dt=0.05)
+        assert res6["rmse"] < 0.25, res6

@@ -28,6 +28,7 @@ from ygz_tpu.core import lie
 from ygz_tpu.matching import search, vocabulary
 from ygz_tpu.pipeline import map_ops, mapstate
 from ygz_tpu.utils.config import SlamConfig
+from ygz_tpu.utils.log import logger
 
 
 class LoopClosing:
@@ -41,24 +42,31 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, tracker, slot: int):
-        cand = self._detect_loop(tracker, slot)
-        if cand is None:
-            return False
-        ok, S_cw, loop_ids, matched = self._compute_sim3(tracker, slot, cand)
-        if not ok:
-            return False
-        self._correct_loop(tracker, slot, cand, S_cw, loop_ids, matched)
-        self.last_loop_kf = slot
-        self.n_loops += 1
-        return True
+        cands = self._detect_loop(tracker, slot)
+        for cand in cands:
+            # every consistent candidate gets a geometric verification,
+            # best BoW score first (the reference's ComputeSim3 loops over
+            # ALL of mvpEnoughConsistentCandidates,
+            # /root/reference/src/LoopClosing.cc:232-335) — with a
+            # compact vocabulary the min-score gate is permissive and the
+            # true loop is rarely the first candidate in slot order
+            ok, S_cw, loop_ids, matched = self._compute_sim3(
+                tracker, slot, cand)
+            if not ok:
+                continue
+            self._correct_loop(tracker, slot, cand, S_cw, loop_ids, matched)
+            self.last_loop_kf = slot
+            self.n_loops += 1
+            return True
+        return False
 
     # ------------------------------------------------------------------
-    def _detect_loop(self, tracker, slot: int) -> Optional[int]:
+    def _detect_loop(self, tracker, slot: int) -> List[int]:
         """BoW retrieval gated by covisible min-score + consistency groups
         (reference DetectLoop, /root/reference/src/LoopClosing.cc:104-216)."""
         ms = tracker.ms
         if slot - self.last_loop_kf < 10 or tracker.n_kf < 12:
-            return None
+            return []
         counts = np.asarray(mapstate.covisibility_counts(ms, slot))
         covis = set(np.where(counts >= 15)[0].tolist())
         scores = np.asarray(vocabulary.score_against_database(
@@ -82,6 +90,14 @@ class LoopClosing:
             cand_mask[k] = False
         cand_mask &= alive
         candidates = np.where(cand_mask)[0]
+        if logger.isEnabledFor(10):
+            top = np.argsort(-scores)[:4]
+            logger.debug(
+                "loop detect @KF%d(f%d): min_score=%.3f top=%s cands=%s",
+                slot, int(ms.kf_frame_id[slot]), min_score,
+                [(int(k), round(float(scores[k]), 3),
+                  int(ms.kf_frame_id[k])) for k in top],
+                candidates.tolist()[:6])
         if len(candidates) == 0:
             # one round of grace before dropping accumulated consistency:
             # a single empty detection right before a revisit otherwise
@@ -91,13 +107,13 @@ class LoopClosing:
                 self.group_grace -= 1
             else:
                 self.prev_groups = []
-            return None
+            return []
         self.group_grace = 1
 
         # consistency groups: a candidate's covisibility group must be seen
         # in `consistency_th` consecutive detections
         new_groups = []
-        accepted = None
+        accepted = []
         for c in candidates:
             ccounts = np.asarray(mapstate.covisibility_counts(ms, int(c)))
             group = set(np.where(ccounts >= 15)[0].tolist()) | {int(c)}
@@ -106,10 +122,14 @@ class LoopClosing:
                 if group & pg:
                     best_consistency = max(best_consistency, cnt + 1)
             new_groups.append((group, best_consistency))
-            if best_consistency >= self.consistency_th and accepted is None:
-                accepted = int(c)
+            if best_consistency >= self.consistency_th:
+                accepted.append(int(c))
         self.prev_groups = new_groups
-        return accepted
+        accepted.sort(key=lambda c: -scores[c])
+        if logger.isEnabledFor(10) and accepted:
+            logger.debug("  consistent candidates (by score): %s",
+                         [(c, round(float(scores[c]), 3)) for c in accepted])
+        return accepted[:5]
 
     # ------------------------------------------------------------------
     def _compute_sim3(self, tracker, slot: int, cand: int):
@@ -124,8 +144,11 @@ class LoopClosing:
         res = search.search_by_descriptor(
             ms.kf_desc[slot], ms.kf_angle[slot], v1,
             ms.kf_desc[cand], ms.kf_angle[cand], v2, ratio=0.75)
-        if int(jnp.sum(res.mask)) < 20:
-            return False, None
+        n_desc = int(jnp.sum(res.mask))
+        logger.debug("  sim3 KF%d<->KF%d: desc matches=%d", slot, cand,
+                     n_desc)
+        if n_desc < 20:
+            return False, None, None, None
 
         # 3D-3D correspondences in each KF's camera frame
         ids1 = jnp.where(v1, mp1, 0)
@@ -136,8 +159,13 @@ class LoopClosing:
         X2 = lie.se3_apply(T2, ms.mp_pos[ids2])
         valid = res.mask & ms.mp_mask[ids1] & ms.mp_mask[ids2]
 
+        # metric sensors fix the Sim3 scale to 1 (reference mbFixScale
+        # for stereo/RGB-D, /root/reference/src/LoopClosing.cc:231)
+        fix_scale = bool(getattr(tracker, "depth_exact", False)
+                         or cfg.camera.bf > 0)
         S12, inl, n_in = sim3solver.ransac_sim3(
-            X1, X2, valid, fix_scale=False, seed=slot)
+            X1, X2, valid, fix_scale=fix_scale, seed=slot)
+        logger.debug("  sim3 ransac inliers=%d", int(n_in))
         if int(n_in) < 20:
             return False, None, None, None
         # corrected world->cam Sim3 of the current KF: S1_corrected maps
@@ -157,6 +185,8 @@ class LoopClosing:
         inl_np = np.asarray(inl & valid)
         idx1 = np.where(np.asarray(res.mask) & inl_np)[0]
         feat_matched.update(idx1.tolist())
+        logger.debug("  sim3 total matches=%d (guided %d)",
+                     len(feat_matched), len(hit_f))
         if len(feat_matched) < 40:
             return False, None, None, None
 
