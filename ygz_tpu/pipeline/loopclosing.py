@@ -144,10 +144,17 @@ class LoopClosing:
         res = search.search_by_descriptor(
             ms.kf_desc[slot], ms.kf_angle[slot], v1,
             ms.kf_desc[cand], ms.kf_angle[cand], v2, ratio=0.75)
+        # gates scale with the feature budget (the reference's absolute
+        # 20/20/40 assume 1000-feature keyframes,
+        # /root/reference/src/LoopClosing.cc:247,316,360)
+        f_scale = cfg.n_features / 1000.0
+        th_desc = max(12, int(20 * f_scale))
+        th_inl = max(10, int(20 * f_scale))
+        th_total = max(20, int(40 * f_scale))
         n_desc = int(jnp.sum(res.mask))
         logger.debug("  sim3 KF%d<->KF%d: desc matches=%d", slot, cand,
                      n_desc)
-        if n_desc < 20:
+        if n_desc < th_desc:
             return False, None, None, None
 
         # 3D-3D correspondences in each KF's camera frame
@@ -166,7 +173,7 @@ class LoopClosing:
         S12, inl, n_in = sim3solver.ransac_sim3(
             X1, X2, valid, fix_scale=fix_scale, seed=slot)
         logger.debug("  sim3 ransac inliers=%d", int(n_in))
-        if int(n_in) < 20:
+        if int(n_in) < th_inl:
             return False, None, None, None
         # corrected world->cam Sim3 of the current KF: S1_corrected maps
         # world through the loop KF's frame
@@ -187,7 +194,7 @@ class LoopClosing:
         feat_matched.update(idx1.tolist())
         logger.debug("  sim3 total matches=%d (guided %d)",
                      len(feat_matched), len(hit_f))
-        if len(feat_matched) < 40:
+        if len(feat_matched) < th_total:
             return False, None, None, None
 
         # matched pairs for CorrectLoop's point replacement: current-KF
