@@ -27,6 +27,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compilation cache: first-ever compile of the
+    fused Pallas kernels over the tunneled TPU costs minutes; cached
+    reruns load in seconds. Cache lives in-repo so driver bench runs
+    reuse it across rounds."""
+    import jax
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def bench_kernel():
     """Device hot path: one fused jit call per frame."""
     import jax
@@ -175,6 +189,7 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
 
 
 def main():
+    _enable_compile_cache()
     kernel_fps = bench_kernel()
     try:
         system_fps, tracked = bench_system()
