@@ -39,7 +39,8 @@ def vio_run():
                               gravity=9.81)
     n_frames = 100
     n_steps = n_frames * STEPS_PER_FRAME + 1
-    P, V, qs, imu = simulate_trajectory(n_steps, seed=11, amp=0.5)
+    P, V, qs, imu = simulate_trajectory(n_steps, seed=11, amp=0.5,
+                                        rot_amp=0.35)
     tex = synthetic.make_texture(3)
 
     sys_ = System(cfg, use_loop_closing=False)

@@ -17,10 +17,12 @@ DT = 0.005  # 200 Hz
 
 
 def simulate_trajectory(n_steps, seed=0, bg=np.zeros(3), ba=np.zeros(3),
-                        noise=0.0, amp=1.0):
+                        noise=0.0, amp=1.0, rot_amp=1.0):
     """Simulate a smooth 3D trajectory; return ground-truth states at each
     step plus IMU measurements (with optional bias/noise). `amp` scales
-    the translational excitation."""
+    the translational excitation, `rot_amp` the angular excitation
+    (gravity/scale observability needs acceleration; large rotations at
+    a narrow FOV mostly punish the vision front end)."""
     rng = np.random.RandomState(seed)
     t = np.arange(n_steps) * DT
     # analytic position and orientation
@@ -31,12 +33,11 @@ def simulate_trajectory(n_steps, seed=0, bg=np.zeros(3), ba=np.zeros(3),
     A = amp * np.stack([-0.726 * np.sin(1.1 * t),
                         -0.324 * np.sin(0.9 * t + 1.0),
                         -0.147 * np.sin(0.7 * t)], 1)
-    yaw = 0.3 * np.sin(0.5 * t)
-    pitch = 0.2 * np.sin(0.4 * t + 0.5)
-    omega_w = np.stack([0.08 * np.cos(0.4 * t + 0.5) * 0 +
-                        0.08 * np.cos(0.4 * t + 0.5),
-                        np.zeros_like(t),
-                        0.15 * np.cos(0.5 * t)], 1)
+    yaw = rot_amp * 0.3 * np.sin(0.5 * t)
+    pitch = rot_amp * 0.2 * np.sin(0.4 * t + 0.5)
+    omega_w = rot_amp * np.stack([0.08 * np.cos(0.4 * t + 0.5),
+                                  np.zeros_like(t),
+                                  0.15 * np.cos(0.5 * t)], 1)
 
     qs = [np.array([1.0, 0, 0, 0], np.float32)]
     for i in range(1, n_steps):

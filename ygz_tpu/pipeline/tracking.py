@@ -420,7 +420,7 @@ class Tracker:
         # noise-dominated maps at creeping motion; waiting costs nothing)
         disp = np.asarray(jnp.linalg.norm(uv2 - uv1, axis=-1))
         med_disp = float(np.median(disp[np.asarray(res.mask)]))
-        if med_disp < 0.08 * cfg.camera.width:
+        if med_disp < max(8.0, 0.02 * cfg.camera.width):
             return
         init = initializer.initialize_two_view(
             uv1, uv2, res.mask, cfg.camera.K, seed=fr.frame_id,
@@ -530,11 +530,15 @@ class Tracker:
         uv_inf = np.stack(
             [cfg.camera.fx * rot[:, 0] / rot[:, 2] + cfg.camera.cx,
              cfg.camera.fy * rot[:, 1] / rot[:, 2] + cfg.camera.cy], -1)
+        # threshold in ABSOLUTE pixels: translation-direction error
+        # scales as (pixel noise)/(parallax px), and detector noise does
+        # not grow with resolution — a width-proportional bar demanded
+        # 56 px at 752-wide frames where ~11 px already gives ~2 deg
+        par_th = max(10.0, 0.015 * cfg.camera.width)
         med_par = float(np.median(np.linalg.norm(uv1_o - uv_inf, axis=-1)))
-        if med_par < 0.075 * cfg.camera.width:
+        if med_par < par_th:
             logger.debug("init rejected post-BA: rot-comp parallax "
-                         "%.1f px < %.1f", med_par,
-                         0.075 * cfg.camera.width)
+                         "%.1f px < %.1f", med_par, par_th)
             # discard the tentative map entirely
             self.ms = mapstate.make_empty(
                 cfg.max_keyframes, cfg.max_map_points, cfg.n_features,
@@ -1062,6 +1066,14 @@ class Tracker:
         weak = self.last_inliers < 0.8 * ref_obs
         long_gap = frames_since >= max(3, int(cfg.fps))
         recent = frames_since < 2
+        # visual-inertial before init: dense keyframes (~0.3 s apart).
+        # The [s, g] least squares integrates gravity over KF gaps —
+        # at 1 s gaps the 0.5*g*dt^2 term (~5 m) swamps the scale
+        # signal (~0.1 m) and vision noise can flip the fitted scale
+        # sign; the reference keeps 0.1-0.5 s KF spacing during its
+        # 15 s VI init window for the same reason
+        if cfg.use_imu and not getattr(self, "vins_inited", True):
+            long_gap = frames_since >= max(2, int(cfg.fps) // 3)
         # metric sensors: keep the map stocked with FRESH depth anchors —
         # scale integrity comes from per-KF depth points, and a direct
         # tracker holds inliers high enough that the `weak` trigger alone
