@@ -433,10 +433,12 @@ class Tracker:
         if not bool(init.success):
             return
         if not self._create_initial_map(f0, fr2, res, init, uv2):
-            # map rejected post-BA (insufficient true parallax): slide
-            # the init window forward so the next attempt has a longer
-            # baseline
-            self.init_frame = fr2
+            # map rejected post-BA (insufficient true parallax): KEEP the
+            # anchor frame — the pair needs a longer baseline, and
+            # replacing f0 with the current frame would reset the
+            # accumulated baseline to zero (observed: init pushed from
+            # frame 7 to 21 on the orbit world)
+            pass
 
     def _create_initial_map(self, f0, f1, match_res, init, uv2_refined):
         """Two KFs + triangulated points + global BA + median-depth
@@ -534,7 +536,7 @@ class Tracker:
         # scales as (pixel noise)/(parallax px), and detector noise does
         # not grow with resolution — a width-proportional bar demanded
         # 56 px at 752-wide frames where ~11 px already gives ~2 deg
-        par_th = max(10.0, 0.015 * cfg.camera.width)
+        par_th = max(9.0, 0.015 * cfg.camera.width)
         med_par = float(np.median(np.linalg.norm(uv1_o - uv_inf, axis=-1)))
         if med_par < par_th:
             logger.debug("init rejected post-BA: rot-comp parallax "
