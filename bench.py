@@ -177,6 +177,11 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
     slam = System(cfg, use_loop_closing=False, pipelined=True)
     times = []
     n_ok = 0
+    # wall-clock budget: a cold compilation cache on a tunneled device can
+    # spend minutes per first-seen program; report whatever steady-state
+    # frames fit in the budget rather than blowing the driver's timeout
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     for i, ((ts, _), img) in enumerate(zip(traj, frames)):
         t0 = time.perf_counter()
         slam.track_monocular(img, ts)
@@ -184,6 +189,10 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
         if i >= warm_frames:
             times.append(dt)
             n_ok += int(slam.tracker.state == tracking.OK)
+        if time.perf_counter() - t_start > budget_s and len(times) >= 20:
+            print(f"[bench] budget hit after {i + 1} frames",
+                  file=sys.stderr)
+            break
     med = float(np.median(times))
     return 1.0 / med, n_ok / max(len(times), 1)
 
