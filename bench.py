@@ -189,7 +189,11 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
         if i >= warm_frames:
             times.append(dt)
             n_ok += int(slam.tracker.state == tracking.OK)
-        if time.perf_counter() - t_start > budget_s and len(times) >= 20:
+        if time.perf_counter() - t_start > budget_s:
+            if len(times) < 20:
+                raise TimeoutError(
+                    f"system bench budget ({budget_s:.0f}s) exhausted "
+                    f"during compilation warm-up at frame {i + 1}")
             print(f"[bench] budget hit after {i + 1} frames",
                   file=sys.stderr)
             break
