@@ -138,3 +138,59 @@ class TestVocabulary:
         scores = vocabulary.score_against_database(
             query, db, jnp.ones(8, bool))
         assert int(jnp.argmax(scores)) == 3
+
+
+class TestPnP:
+    """POSIT-based PnP RANSAC (pipeline/relocalization.pnp_ransac)."""
+
+    def _solve(self, pts_w, uv, mask, K, seed=0):
+        from ygz_tpu.pipeline.relocalization import pnp_ransac
+        return pnp_ransac(jnp.asarray(pts_w), jnp.asarray(uv),
+                          jnp.asarray(mask), jnp.asarray(K), seed=seed)
+
+    def test_two_plane_scene(self):
+        """DLT-PnP is near-critically degenerate when the points lie on
+        two parallel planes (a degenerate quadric near the camera
+        center) — the configuration of every plane-dominant SLAM map.
+        POSIT must recover the pose with full inliers there."""
+        from ygz_tpu.core import lie
+        rng = np.random.RandomState(3)
+        K = np.array([[120, 0, 64], [0, 120, 48], [0, 0, 1]], np.float32)
+        n = 60
+        z = np.where(rng.rand(n) < 0.6, 3.0, 2.0)
+        X = np.stack([rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(-1.1, 1.1, n), z], 1).astype(np.float32)
+        xi = np.array([0.15, -0.08, 0.04, 0.03, -0.05, 0.02], np.float32)
+        T = lie.se3_exp(jnp.asarray(xi))
+        Xw = np.asarray(lie.se3_apply(lie.se3_inverse(T), jnp.asarray(X)))
+        pc = np.asarray(lie.se3_apply(T, jnp.asarray(Xw)))
+        uv = np.stack([120 * pc[:, 0] / pc[:, 2] + 64,
+                       120 * pc[:, 1] / pc[:, 2] + 48], 1)
+        uv += rng.randn(n, 2).astype(np.float32) * 0.4
+        for seed in (0, 1, 2):
+            R, t, inl, n_in = self._solve(Xw, uv, np.ones(n, bool), K,
+                                          seed=seed)
+            assert int(n_in) >= int(0.9 * n), int(n_in)
+            t_err = np.linalg.norm(np.asarray(t) - np.asarray(T["t"]))
+            assert t_err < 0.05, t_err
+
+    def test_outlier_rejection(self):
+        from ygz_tpu.core import lie
+        rng = np.random.RandomState(7)
+        K = np.array([[120, 0, 64], [0, 120, 48], [0, 0, 1]], np.float32)
+        n = 80
+        X = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.1, 1.1, n),
+                      rng.uniform(2.0, 3.5, n)], 1).astype(np.float32)
+        xi = np.array([0.1, 0.05, -0.03, -0.02, 0.04, 0.01], np.float32)
+        T = lie.se3_exp(jnp.asarray(xi))
+        Xw = np.asarray(lie.se3_apply(lie.se3_inverse(T), jnp.asarray(X)))
+        pc = np.asarray(lie.se3_apply(T, jnp.asarray(Xw)))
+        uv = np.stack([120 * pc[:, 0] / pc[:, 2] + 64,
+                       120 * pc[:, 1] / pc[:, 2] + 48], 1)
+        # 25% gross outliers
+        bad = rng.rand(n) < 0.25
+        uv[bad] += rng.uniform(20, 60, (bad.sum(), 2))
+        R, t, inl, n_in = self._solve(Xw, uv, np.ones(n, bool), K, seed=1)
+        inl = np.asarray(inl)
+        assert not inl[bad].any() or inl[bad].mean() < 0.2
+        assert np.linalg.norm(np.asarray(t) - np.asarray(T["t"])) < 0.06
