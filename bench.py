@@ -30,11 +30,14 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent XLA/Mosaic compilation cache: first-ever compile of the
     fused Pallas kernels over the tunneled TPU costs minutes; cached
-    reruns load in seconds. Cache lives in-repo so driver bench runs
-    reuse it across rounds."""
+    reruns load in seconds. The cache directory is COMMITTED (pre-baked by
+    running this bench on the chip at build time) so driver bench runs —
+    which start from a fresh checkout — never pay the cold-compile wall
+    that blew the 900 s budget in round 2 (BENCH_r02: TimeoutError at
+    frame 16 of warm-up)."""
     import jax
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "tests", ".jax_cache")
+                     "assets", "bench_cache")
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -198,7 +201,13 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
                   file=sys.stderr)
             break
     med = float(np.median(times))
-    return 1.0 / med, n_ok / max(len(times), 1)
+    tracked = n_ok / max(len(times), 1)
+    if tracked < 0.8:
+        # a regression that fails most frames must not print a (fast!)
+        # FPS line — failed frames are cheap and inflate the number
+        raise RuntimeError(
+            f"system bench invalid: tracked_fraction={tracked:.2f} < 0.8")
+    return 1.0 / med, tracked
 
 
 def main():

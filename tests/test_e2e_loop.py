@@ -22,6 +22,8 @@ trained on OTHER texture seeds, never the test world."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ygz_tpu.core import lie
 from ygz_tpu.eval import ate
 from ygz_tpu.matching import vocabulary

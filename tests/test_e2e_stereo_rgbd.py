@@ -8,6 +8,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ygz_tpu.core import lie
 from ygz_tpu.eval import ate
 from ygz_tpu.pipeline import tracking

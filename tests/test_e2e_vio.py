@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ygz_tpu.core import lie
 from ygz_tpu.imu import vi_init
 from ygz_tpu.pipeline.system import System

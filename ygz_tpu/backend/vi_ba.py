@@ -1,13 +1,15 @@
 """Visual-inertial NavState optimization: per-frame pose optimization with
 an IMU edge + marginalization prior, and sliding-window VI bundle
-adjustment.
+adjustment with map-point vertices.
 
 Replaces the reference's inertial Optimizer entry points
 (/root/reference/src/Optimizer.cc:278-618 PoseOptimization with
 KeyFrame/Frame IMU constraints, :863-1279 LocalBundleAdjustmentNavState)
 and the 1149-line hand-written g2o Jacobians of src/IMU/g2otypes.cpp:
-every edge's linearization here comes from jax.jacfwd over the 15-dof
-retraction — exact, batched, and impossible to get wrong by hand.
+every pose-side linearization here comes from jax.jacfwd over the 15-dof
+retraction — exact, batched, and impossible to get wrong by hand; the
+point-side Jacobians are analytic (a 2x3 projection block) so points can
+be Schur-eliminated without materializing an [O, 2, P, 3] tensor.
 
 State blocks are full 15-dof NavStates (the reference splits PVR/Bias
 into two g2o vertices purely to reuse its solver's block structure;
@@ -24,9 +26,12 @@ import jax.numpy as jnp
 
 from ygz_tpu.core import lie
 from ygz_tpu.core.robust import CHI2_2DOF, huber_weight
-from ygz_tpu.core.smallsolve import solve_spd_unrolled
 from ygz_tpu.imu import navstate as ns_mod
 from ygz_tpu.imu.preintegration import PreintState
+
+# Huber delta on the 15-dof prior edge (reference thHuberNavState =
+# sqrt(30.5779), /root/reference/src/Optimizer.cc:348)
+PRIOR_HUBER = 30.5779 ** 0.5
 
 
 def _vision_residuals(ns: ns_mod.NavState, Tbc, pts_w, uv, fx, fy, cx, cy):
@@ -49,6 +54,25 @@ def _imu_info(pre: PreintState):
     return jnp.linalg.inv(cov)
 
 
+def _bias_walk_info(pre: PreintState, bias_walk):
+    """6x6 information of the bias random-walk edge over one segment
+    (reference EdgeNavStateBias information = (walk_cov * dt)^-1,
+    /root/reference/src/Optimizer.cc:394-417)."""
+    sg, sa = bias_walk
+    dt = jnp.maximum(pre.dt, 1e-3)
+    inv = jnp.concatenate([jnp.full((3,), 1.0 / (sg * sg * dt)),
+                           jnp.full((3,), 1.0 / (sa * sa * dt))])
+    return jnp.diag(inv)
+
+
+def _prior_residual(ns, prior_ns):
+    """15-dof difference of ns from the prior anchor, in the anchor's
+    tangent (reference EdgeNavStatePriorPVRBias error)."""
+    dphi = lie.so3_log(lie.quat_mul(lie.quat_conj(prior_ns.q), ns.q))
+    return jnp.concatenate([ns.P - prior_ns.P, ns.V - prior_ns.V, dphi,
+                            ns.bg - prior_ns.bg, ns.ba - prior_ns.ba])
+
+
 def _jacobi_solve(H, b, damping=1e-4):
     """Diagonally-preconditioned SPD solve: D^-1/2 H D^-1/2 y = D^-1/2 b.
     Keeps mixed-magnitude (IMU ~1e6, vision ~1e2) systems well-scaled
@@ -69,40 +93,94 @@ def pose_optimization_vi(ns0: ns_mod.NavState, ns_ref: ns_mod.NavState,
                          prior_ns: Optional[ns_mod.NavState] = None,
                          bias_hat: Optional[Tuple] = None,
                          rounds: int = 3, iters: int = 6,
-                         marginalize: bool = True):
-    """Optimize one frame's 15-dof NavState against a FIXED reference
-    state (last KF or last frame) + vision + optional prior.
+                         marginalize: bool = True,
+                         bias_walk: Optional[Tuple] = None,
+                         return_last: bool = False):
+    """Optimize one frame's 15-dof NavState against the previous state.
 
-    Mirrors the reference's two inertial PoseOptimization overloads
-    (src/Optimizer.cc:278-618, :619-861): IMU edge, projection edges,
-    prior edge, chi2 re-classification rounds, and an output 15x15
-    marginalization prior for the next frame.
+    Two modes, mirroring the reference's two inertial PoseOptimization
+    overloads:
+
+    * ``prior_H is None`` — the reference state is held FIXED (the
+      KeyFrame overload, /root/reference/src/Optimizer.cc:619-861):
+      IMU edge + projection edges + chi2 re-classification rounds.
+    * ``prior_H/prior_ns given`` — the Frame-Frame overload
+      (:278-618): the previous frame's state is a FREE vertex anchored
+      by its own marginal prior (prior_H at prior_ns, Huber'd at
+      sqrt(30.5779)), jointly optimized with the current frame through
+      the IMU edge (plus a bias random-walk edge when ``bias_walk``
+      noise densities are given). The returned H_marg is the TRUE
+      marginal information of the current frame: the joint 30x30
+      Hessian at the solution with the previous state Schur-eliminated
+      — exactly what the reference's computeMarginals + inverse
+      produces (:599-616), replacing round-2's H*0.5 discount.
 
     Returns (ns, inlier_mask, n_inliers, H_marg).
     """
     info_imu = _imu_info(pre)
     bg_hat, ba_hat = (ns_ref.bg, ns_ref.ba) if bias_hat is None else bias_hat
+    joint = prior_H is not None and prior_ns is not None
+    info_bw = _bias_walk_info(pre, bias_walk) if (joint and bias_walk) \
+        else None
 
-    def run_round(robust, inlier, ns_start):
-        def gn(i, ns_cur):
-            zero = jnp.zeros(15)
+    def states(ns_l, ns_c, dx):
+        l = ns_mod.retract(ns_l, dx[:15]) if joint else ns_l
+        c = ns_mod.retract(ns_c, dx[15:])
+        return l, c
 
-            def r_imu_fn(dx):
-                ns = ns_mod.retract(ns_cur, dx)
-                return ns_mod.imu_residual_biased(ns_ref, ns, pre, gw,
-                                                  bg_hat, ba_hat)
+    def joint_system(ns_l, ns_c, w_vis, w_prior):
+        """Build the 30x30 GN system at (ns_l, ns_c) with given vision
+        weights; returns (H, b)."""
+        zero = jnp.zeros(30)
 
-            def r_vis_fn(dx):
-                ns = ns_mod.retract(ns_cur, dx)
-                rv, _ = _vision_residuals(ns, Tbc, pts_w, uv, fx, fy, cx, cy)
-                return rv
+        def r_imu_fn(dx):
+            l, c = states(ns_l, ns_c, dx)
+            return ns_mod.imu_residual_biased(l, c, pre, gw, bg_hat, ba_hat)
 
-            r_imu = r_imu_fn(zero)
-            J_imu = jax.jacfwd(r_imu_fn)(zero)           # [9, 15]
-            rv = r_vis_fn(zero)
-            Jv = jax.jacfwd(r_vis_fn)(zero)              # [N, 2, 15]
+        def r_vis_fn(dx):
+            _, c = states(ns_l, ns_c, dx)
+            rv, _ = _vision_residuals(c, Tbc, pts_w, uv, fx, fy, cx, cy)
+            return rv
 
-            _, z = _vision_residuals(ns_cur, Tbc, pts_w, uv, fx, fy, cx, cy)
+        r_imu = r_imu_fn(zero)
+        J_imu = jax.jacfwd(r_imu_fn)(zero)               # [9, 30]
+        rv = r_vis_fn(zero)
+        Jv = jax.jacfwd(r_vis_fn)(zero)                  # [N, 2, 30]
+
+        H = J_imu.T @ info_imu @ J_imu
+        b = -J_imu.T @ info_imu @ r_imu
+        H = H + jnp.einsum("nad,nae,n->de", Jv, Jv, w_vis)
+        b = b - jnp.einsum("nad,na,n->d", Jv, rv, w_vis)
+        if joint:
+            # prior on the LAST state, anchored at its marginal estimate
+            def r_pr_fn(dx):
+                l, _ = states(ns_l, ns_c, dx)
+                return _prior_residual(l, prior_ns)
+            r_pr = r_pr_fn(jnp.zeros(30))
+            J_pr = jax.jacfwd(r_pr_fn)(jnp.zeros(30))    # [15, 30]
+            Hp = prior_H * w_prior
+            H = H + J_pr.T @ Hp @ J_pr
+            b = b - J_pr.T @ Hp @ r_pr
+            if info_bw is not None:
+                def r_bw_fn(dx):
+                    l, c = states(ns_l, ns_c, dx)
+                    return jnp.concatenate([c.bg - l.bg, c.ba - l.ba])
+                r_bw = r_bw_fn(jnp.zeros(30))
+                J_bw = jax.jacfwd(r_bw_fn)(jnp.zeros(30))
+                H = H + J_bw.T @ info_bw @ J_bw
+                b = b - J_bw.T @ info_bw @ r_bw
+        else:
+            # last state fixed: freeze its block
+            fvec = jnp.concatenate([jnp.zeros(15, bool), jnp.ones(15, bool)])
+            H = jnp.where(fvec[:, None] & fvec[None, :], H, 0.0)
+            H = H + jnp.diag(jnp.where(fvec, 0.0, 1.0))
+            b = jnp.where(fvec, b, 0.0)
+        return H, b
+
+    def run_round(robust, inlier, ns_l_start, ns_c_start):
+        def gn(i, carry):
+            ns_l, ns_c = carry
+            rv, z = _vision_residuals(ns_c, Tbc, pts_w, uv, fx, fy, cx, cy)
             chi2 = jnp.sum(rv * rv, -1) * inv_sigma2
             if robust:
                 rw = huber_weight(jnp.sqrt(jnp.maximum(chi2, 1e-12)),
@@ -110,60 +188,46 @@ def pose_optimization_vi(ns0: ns_mod.NavState, ns_ref: ns_mod.NavState,
             else:
                 rw = 1.0
             w = jnp.where(inlier & (z > 1e-3), inv_sigma2 * rw, 0.0)
-
-            H = J_imu.T @ info_imu @ J_imu
-            b = -J_imu.T @ info_imu @ r_imu
-            H = H + jnp.einsum("nad,nae,n->de", Jv, Jv, w)
-            b = b - jnp.einsum("nad,na,n->d", Jv, rv, w)
-            if prior_H is not None and prior_ns is not None:
-                # prior residual: difference of ns_cur from prior_ns in the
-                # prior's tangent; J = d retract / d dx ~ I at 0
-                dP = ns_cur.P - prior_ns.P
-                dV = ns_cur.V - prior_ns.V
-                dphi = lie.so3_log(lie.quat_mul(lie.quat_conj(prior_ns.q),
-                                                ns_cur.q))
-                dbias = jnp.concatenate([ns_cur.bg - prior_ns.bg,
-                                         ns_cur.ba - prior_ns.ba])
-                r_pr = jnp.concatenate([dP, dV, dphi, dbias])
-                H = H + prior_H
-                b = b - prior_H @ r_pr
+            if joint and robust:
+                r_pr = _prior_residual(ns_l, prior_ns)
+                c_pr = r_pr @ (prior_H @ r_pr)
+                w_pr = huber_weight(jnp.sqrt(jnp.maximum(c_pr, 1e-12)),
+                                    PRIOR_HUBER)
+            else:
+                w_pr = 1.0
+            H, b = joint_system(ns_l, ns_c, w, w_pr)
             dx = _jacobi_solve(H, b, damping=1e-6)
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-            return ns_mod.retract(ns_cur, dx)
+            return states(ns_l, ns_c, dx)
 
-        ns = jax.lax.fori_loop(0, iters, gn, ns_start)
-        rv, z = _vision_residuals(ns, Tbc, pts_w, uv, fx, fy, cx, cy)
+        ns_l, ns_c = jax.lax.fori_loop(0, iters, gn,
+                                       (ns_l_start, ns_c_start))
+        rv, z = _vision_residuals(ns_c, Tbc, pts_w, uv, fx, fy, cx, cy)
         chi2 = jnp.sum(rv * rv, -1) * inv_sigma2
         inlier = mask & (z > 1e-3) & (chi2 <= CHI2_2DOF)
-        return ns, inlier
+        return ns_l, ns_c, inlier
 
-    ns, inlier = ns0, mask
+    ns_l, ns_c, inlier = ns_ref, ns0, mask
     for rnd in range(rounds):
-        ns, inlier = run_round(rnd < rounds - 1, inlier, ns)
+        ns_l, ns_c, inlier = run_round(rnd < rounds - 1, inlier, ns_l, ns_c)
 
-    # marginalization: the full H at the solution becomes next frame's
-    # prior (reference computes mMargCovInv, src/Optimizer.cc:560-618)
+    # marginalization: the joint Hessian at the solution with the previous
+    # state Schur-eliminated becomes the next frame's prior (reference
+    # computeMarginals on the current frame's vertices + inverse,
+    # /root/reference/src/Optimizer.cc:599-616)
     H_marg = jnp.zeros((15, 15))
     if marginalize:
-        zero = jnp.zeros(15)
-
-        def r_imu_fn(dx):
-            nsx = ns_mod.retract(ns, dx)
-            return ns_mod.imu_residual_biased(ns_ref, nsx, pre, gw,
-                                              bg_hat, ba_hat)
-
-        def r_vis_fn(dx):
-            nsx = ns_mod.retract(ns, dx)
-            rv2, _ = _vision_residuals(nsx, Tbc, pts_w, uv, fx, fy, cx, cy)
-            return rv2
-
-        J_imu = jax.jacfwd(r_imu_fn)(zero)
-        Jv = jax.jacfwd(r_vis_fn)(zero)
         w = jnp.where(inlier, inv_sigma2, 0.0)
-        H_marg = J_imu.T @ info_imu @ J_imu \
-            + jnp.einsum("nad,nae,n->de", Jv, Jv, w)
+        Hj, _ = joint_system(ns_l, ns_c, w, 1.0)
+        if joint:
+            Hll = Hj[:15, :15] + jnp.eye(15) * 1e-6
+            Hlc = Hj[:15, 15:]
+            H_marg = Hj[15:, 15:] - Hlc.T @ jnp.linalg.solve(Hll, Hlc)
+        else:
+            H_marg = Hj[15:, 15:]
 
-    return ns, inlier, jnp.sum(inlier.astype(jnp.int32)), H_marg
+    out = (ns_c, inlier, jnp.sum(inlier.astype(jnp.int32)), H_marg)
+    return out + (ns_l,) if return_last else out
 
 
 class ViWindowProblem(NamedTuple):
@@ -176,7 +240,7 @@ class ViWindowProblem(NamedTuple):
     kf_fixed:  [W] (the KF before the window is fixed — reference
                includes pKFPrevLocal as fixed, src/Optimizer.cc:939-972)
     obs_kf:    [O] window-local KF index
-    obs_pt:    [O, 3] world points (held fixed — see note)
+    obs_pt:    [O, 3] world points (used when no point table is given)
     obs_uv:    [O, 2]
     obs_inv_sigma2: [O]
     obs_mask:  [O]
@@ -196,23 +260,50 @@ class ViWindowProblem(NamedTuple):
     ba_hat: jnp.ndarray
 
 
+class ViWindowPoints(NamedTuple):
+    """Optional map-point block for the window BA: positions are FREE
+    variables, Schur-eliminated per 3x3 block (reference
+    LocalBundleAdjustmentNavState point vertices,
+    /root/reference/src/Optimizer.cc:1077-1115).
+
+    pos:       [P, 3] world positions
+    mask:      [P]   point validity
+    obs_pt_id: [O]   local point index per observation row
+    """
+    pos: jnp.ndarray
+    mask: jnp.ndarray
+    obs_pt_id: jnp.ndarray
+
+
 def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
-                      iters: int = 8):
+                      iters: int = 8,
+                      points: Optional[ViWindowPoints] = None,
+                      bias_walk: Optional[Tuple] = None):
     """Sliding-window visual-inertial BA over W NavStates (reference
     LocalBundleAdjustmentNavState, window size 10,
     /root/reference/src/Optimizer.cc:863-1279).
 
-    Map points are held fixed here and re-refined by the vision local BA
-    that runs in the same mapping step — a deliberate alternation
-    (block-coordinate descent) instead of the reference's joint solve;
-    each alternation is cheaper and the mapping step runs both.
-    Returns the optimized NavStates.
+    With ``points`` given, map-point positions are optimized jointly and
+    Schur-eliminated (the reference's point vertices, :1077-1115);
+    returns (NavStates, point positions). Without it, points are held
+    fixed (round-2 behavior) and only NavStates return. ``bias_walk``
+    adds the reference's bias random-walk edges between consecutive
+    window states (EdgeNavStateBias, :1009-1036).
     """
     W = prob.kf_mask.shape[0]
     D = W * 15
+    use_pts = points is not None
+    info_bw = None
+    if bias_walk is not None:
+        info_bw = jax.vmap(lambda p: _bias_walk_info(p, bias_walk))(prob.pre)
 
-    def gn(i, ns_flat):
-        ns = ns_flat
+    def point_positions(state):
+        return state[1] if use_pts else prob.obs_pt
+
+    def gn(i, state):
+        ns = state[0] if use_pts else state
+        pos_tab = state[1] if use_pts else None
+        pts_obs = pos_tab[points.obs_pt_id] if use_pts else prob.obs_pt
         zero = jnp.zeros((W, 15))
 
         def imu_res_all(dx):
@@ -225,11 +316,16 @@ def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
                     ns_i, ns_j, pre_k, gw, prob.bg_hat, prob.ba_hat)
             return jax.vmap(seg)(jnp.arange(W - 1))      # [W-1, 9]
 
+        def bias_res_all(dx):
+            nsx = jax.vmap(ns_mod.retract)(ns, dx)
+            return jnp.concatenate(
+                [nsx.bg[1:] - nsx.bg[:-1], nsx.ba[1:] - nsx.ba[:-1]], -1)
+
         def vis_res_all(dx):
             nsx = jax.vmap(ns_mod.retract)(ns, dx)
             ns_o = jax.tree.map(lambda a: a[prob.obs_kf], nsx)
             T_cw = jax.vmap(lambda n: ns_mod.navstate_to_tcw(n, Tbc))(ns_o)
-            pc = lie.quat_rotate(T_cw["q"], prob.obs_pt) + T_cw["t"]
+            pc = lie.quat_rotate(T_cw["q"], pts_obs) + T_cw["t"]
             z = jnp.maximum(pc[..., 2], 1e-3)
             u = fx * pc[..., 0] / z + cx
             v = fy * pc[..., 1] / z + cy
@@ -254,15 +350,64 @@ def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
         b = -jnp.einsum("sad,sab,sb,s->d", Ji, info, r_imu, wseg)
         H = H + jnp.einsum("oad,oae,o->de", Jvf, Jvf, wv)
         b = b - jnp.einsum("oad,oa,o->d", Jvf, rv, wv)
+        if info_bw is not None:
+            r_bw = bias_res_all(zero)                    # [W-1, 6]
+            J_bw = jax.jacfwd(bias_res_all)(zero).reshape(W - 1, 6, D)
+            H = H + jnp.einsum("sad,sab,sbe,s->de", J_bw, info_bw, J_bw,
+                               wseg)
+            b = b - jnp.einsum("sad,sab,sb,s->d", J_bw, info_bw, r_bw, wseg)
 
         free = (prob.kf_mask & ~prob.kf_fixed)
         fvec = jnp.repeat(free, 15)
+
+        if use_pts:
+            # analytic point Jacobian: dr/dX = (dr/dpc) @ R_cw  [O, 2, 3]
+            ns_o = jax.tree.map(lambda a: a[prob.obs_kf], ns)
+            T_cw = jax.vmap(lambda n: ns_mod.navstate_to_tcw(n, Tbc))(ns_o)
+            R_cw = lie.quat_to_matrix(T_cw["q"])         # [O, 3, 3]
+            pc = lie.quat_rotate(T_cw["q"], pts_obs) + T_cw["t"]
+            z = jnp.maximum(pc[..., 2], 1e-3)
+            A = jnp.stack([
+                jnp.stack([fx / z, jnp.zeros_like(z),
+                           -fx * pc[..., 0] / (z * z)], -1),
+                jnp.stack([jnp.zeros_like(z), fy / z,
+                           -fy * pc[..., 1] / (z * z)], -1)], -2)  # [O,2,3]
+            Jp = jnp.einsum("oab,obc->oac", A, R_cw)     # [O, 2, 3]
+            wv_pt = wv * points.mask[points.obs_pt_id]
+            P = points.pos.shape[0]
+            pid = points.obs_pt_id
+            # block accumulations via segment_sum over the point id
+            Hpp = jax.ops.segment_sum(
+                jnp.einsum("oad,oae,o->ode", Jp, Jp, wv_pt), pid,
+                num_segments=P)                          # [P, 3, 3]
+            bp = jax.ops.segment_sum(
+                -jnp.einsum("oad,oa,o->od", Jp, rv, wv_pt), pid,
+                num_segments=P)                          # [P, 3]
+            Cx = jax.ops.segment_sum(
+                jnp.einsum("oad,oae,o->ode", Jvf, Jp, wv_pt), pid,
+                num_segments=P)                          # [P, D, 3]
+            Hpp_r = Hpp + jnp.eye(3) * 1e-2              # LM damping
+            Hpp_inv = jnp.linalg.inv(Hpp_r)
+            # Schur complement onto the pose block
+            H = H - jnp.einsum("pde,pef,pgf->dg", Cx, Hpp_inv, Cx)
+            b = b - jnp.einsum("pde,pef,pf->d", Cx, Hpp_inv, bp)
+
         H = jnp.where(fvec[:, None] & fvec[None, :], H, 0.0)
         H = H + jnp.diag(jnp.where(fvec, 0.0, 1.0))
         b = jnp.where(fvec, b, 0.0)
         dx = _jacobi_solve(H, b, damping=1e-5)
-        dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(W, 15)
-        dx = jnp.where(free[:, None], dx, 0.0)
-        return jax.vmap(ns_mod.retract)(ns, dx)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dxm = jnp.where(free[:, None], dx.reshape(W, 15), 0.0)
+        ns_new = jax.vmap(ns_mod.retract)(ns, dxm)
+        if not use_pts:
+            return ns_new
+        # back-substitute the point update: dX = Hpp^-1 (bp - Cx^T dx)
+        dX = jnp.einsum("pef,pf->pe", Hpp_inv,
+                        bp - jnp.einsum("pde,d->pe", Cx, dx))
+        dX = jnp.where(jnp.isfinite(dX).all(-1, keepdims=True), dX, 0.0)
+        pos_new = jnp.where(points.mask[:, None], pos_tab + dX, pos_tab)
+        return ns_new, pos_new
 
+    if use_pts:
+        return jax.lax.fori_loop(0, iters, gn, (prob.ns, points.pos))
     return jax.lax.fori_loop(0, iters, gn, prob.ns)

@@ -217,6 +217,11 @@ def relocalize(tracker, fr: frame_mod.Frame) -> bool:
         qvec, tracker.ms.kf_bow, tracker.ms.kf_mask)
     order = _reloc_candidates(tracker, np.asarray(scores))
 
+    # tracker state is mutated per attempt (ref_kf drives the local-map
+    # gate below); snapshot so a failed attempt doesn't leave the tracker
+    # pointed at an arbitrary rejected candidate
+    saved = (tracker.ref_kf, tracker._ref_obs_cache, tracker.last_inliers,
+             tracker.velocity)
     for k in order:
         k = int(k)
         kf_mp = tracker.ms.kf_mp_idx[k]
@@ -271,6 +276,8 @@ def relocalize(tracker, fr: frame_mod.Frame) -> bool:
         if not tracker._track_local_map_features(fr):
             fr.T_cw = None
             fr.mp_idx = None
+            (tracker.ref_kf, tracker._ref_obs_cache, tracker.last_inliers,
+             tracker.velocity) = saved
             continue
         return True
     return False

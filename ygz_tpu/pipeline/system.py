@@ -61,22 +61,33 @@ class System:
             self.loop_closer = LoopClosing(cfg)
             self.mapper.loop_closer = self.loop_closer
 
+    def _notify_loop_closer(self):
+        """Drain the tracker's explicit new-KF signal and notify the loop
+        closer exactly once per created slot (works identically for sync
+        and pipelined/deferred KFs — the reference's LocalMapping queue
+        hand-off to LoopClosing, /root/reference/src/LocalMapping.cc:832)."""
+        slots = self.tracker.new_kf_slots
+        if not slots:
+            return
+        self.tracker.new_kf_slots = []
+        if self.loop_closer is None:
+            return
+        alive = np.asarray(self.tracker.ms.kf_mask)
+        for slot in slots:
+            if alive[slot]:
+                self.loop_closer.on_new_keyframe(self.tracker, slot)
+
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, timestamp: float):
         """img: [H, W] grayscale (uint8 or float). Returns T_cw or None."""
         fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg)
         if self.pipelined and not self.cfg.use_imu:
             T = self.tracker.track_pipelined(fr)
-            if self.loop_closer is not None and self.tracker.n_kf > 0 and \
-                    self.tracker.last_kf_frame_id >= fr.frame_id - 1:
-                self.loop_closer.on_new_keyframe(self.tracker,
-                                                 self.tracker.ref_kf)
+            self._notify_loop_closer()
+            self._maybe_auto_reset()
             return T
         T = self.tracker.track(fr)
-        if self.loop_closer is not None and self.tracker.n_kf > 0 and \
-                self.tracker.last_kf_frame_id == fr.frame_id:
-            self.loop_closer.on_new_keyframe(self.tracker,
-                                             self.tracker.ref_kf)
+        self._notify_loop_closer()
         self._maybe_auto_reset()
         return T
 
@@ -99,9 +110,7 @@ class System:
             T = self.tracker.track_pipelined(fr)
         else:
             T = self.tracker.track(fr)
-        if self.loop_closer is not None and self.tracker.n_kf > 0 and \
-                self.tracker.last_kf_frame_id == fr.frame_id:
-            self.loop_closer.on_new_keyframe(self.tracker, self.tracker.ref_kf)
+        self._notify_loop_closer()
         self._maybe_auto_reset()
         return T
 
@@ -114,9 +123,7 @@ class System:
             T = self.tracker.track_pipelined(fr)
         else:
             T = self.tracker.track(fr)
-        if self.loop_closer is not None and self.tracker.n_kf > 0 and \
-                self.tracker.last_kf_frame_id == fr.frame_id:
-            self.loop_closer.on_new_keyframe(self.tracker, self.tracker.ref_kf)
+        self._notify_loop_closer()
         self._maybe_auto_reset()
         return T
 
@@ -127,7 +134,12 @@ class System:
         (t, wx, wy, wz, ax, ay, az) since the previous frame."""
         fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg,
                                   imu=imu)
-        return self.tracker.track(fr)
+        T = self.tracker.track(fr)
+        # loop correction is disabled under IMU (no loop_closer), but the
+        # auto-reset on early track loss still applies
+        self.tracker.new_kf_slots = []
+        self._maybe_auto_reset()
+        return T
 
     _id_counter = 0
 

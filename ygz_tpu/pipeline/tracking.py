@@ -100,6 +100,11 @@ class Tracker:
         self.direct_failed = False
         self.last_reloc_frame_id = -10_000
         self.localization_only = False
+        # explicit new-KF signal for the loop closer: slots appended at
+        # every KF creation (incl. initialization) and drained exactly
+        # once by System — inferring from last_kf_frame_id comparisons
+        # missed deferred (pipelined) KFs and double-fired on others
+        self.new_kf_slots: List[int] = []
         self._ref_obs_cache: Optional[int] = None
         self._cand_j = None
         self._cand_valid = None
@@ -335,6 +340,7 @@ class Tracker:
         self.state = OK
         self.velocity = None
         self.last_kf_frame_id = fr.frame_id
+        self.new_kf_slots.append(0)
         self._rebuild_direct_cache()
         if self.mapper is not None:
             self.mapper.on_new_keyframe(self, 0, fr)
@@ -557,6 +563,7 @@ class Tracker:
         self.state = OK
         self.velocity = None
         self.last_kf_frame_id = f1.frame_id
+        self.new_kf_slots.extend([0, 1])
         self._rebuild_direct_cache()
         if self.mapper is not None:
             self.mapper.on_new_keyframe(self, 0, f0)
@@ -1142,6 +1149,14 @@ class Tracker:
             self.mapper.on_new_keyframe(self, slot, fr)
         self._ref_obs_cache = None
         fr.T_c_ref = None  # ref KF changed; recompute in track()
+        # a frame already enqueued in the pipeline cached its T_c_ref
+        # against the PREVIOUS ref KF — clear it so _record_frame
+        # recomputes against the new one (else one grossly wrong
+        # trajectory pose per KF insertion in pipelined runs)
+        p = getattr(self, "_pending", None)
+        if p is not None:
+            p[0].T_c_ref = None
+        self.new_kf_slots.append(slot)
         self._rebuild_direct_cache()
 
 

@@ -28,6 +28,7 @@ from ygz_tpu.imu import navstate as ns_mod
 from ygz_tpu.imu import preintegration as pre_mod
 from ygz_tpu.imu import vi_init
 from ygz_tpu.pipeline import frame as frame_mod
+from ygz_tpu.pipeline import mapstate
 from ygz_tpu.pipeline.tracking import Tracker, OK
 from ygz_tpu.utils.config import SlamConfig
 
@@ -59,6 +60,7 @@ class VioTracker(Tracker):
         # per-KF state keyed by slot (dict: capacities can grow)
         self.kf_ns: dict = {}    # slot -> NavState
         self.kf_pre: dict = {}   # slot -> PreintState from the previous KF
+        self.kf_imu_rows: dict = {}  # slot -> raw IMU rows of that gap
         self.kf_order: List[int] = []   # KF slots in temporal order
         self.imu_since_kf: List[np.ndarray] = []
         self.imu_since_frame: Optional[np.ndarray] = None
@@ -77,9 +79,39 @@ class VioTracker(Tracker):
 
     # ------------------------------------------------------------------
     def _preintegrate_rows(self, rows):
-        imu, m = _pad_imu(rows)
+        # power-of-two capacity bucketing above the base pad: merged gaps
+        # (after a KF cull re-stitches two preintegration intervals) can
+        # exceed IMU_PAD without triggering a recompile per length
+        cap = IMU_PAD
+        if rows is not None and len(rows) > cap:
+            cap = 1 << int(np.ceil(np.log2(len(rows))))
+        imu, m = _pad_imu(rows, cap)
         return pre_mod.preintegrate(imu, m, self.bg, self.ba,
                                     self.cfg.gyro_noise, self.cfg.acc_noise)
+
+    # ------------------------------------------------------------------
+    def on_keyframe_killed(self, k: int):
+        """Chain repair when mapping culls KF k: merge its IMU gap into
+        its temporal successor and re-preintegrate, so the per-gap
+        preintegration chain the VI init/window BA depends on stays
+        contiguous (the reference merges IMU data into the next KF and
+        recomputes its preintegration on SetBadFlag,
+        /root/reference/src/KeyFrame.cc SetBadFlag + ComputePreInt)."""
+        super().on_keyframe_killed(k)
+        if k in self.kf_order:
+            i = self.kf_order.index(k)
+            if i + 1 < len(self.kf_order):
+                succ = self.kf_order[i + 1]
+                parts = [r for r in (self.kf_imu_rows.get(k),
+                                     self.kf_imu_rows.get(succ))
+                         if r is not None and len(r)]
+                merged = np.concatenate(parts) if parts else None
+                self.kf_imu_rows[succ] = merged
+                self.kf_pre[succ] = self._preintegrate_rows(merged)
+            self.kf_order.remove(k)
+        self.kf_ns.pop(k, None)
+        self.kf_pre.pop(k, None)
+        self.kf_imu_rows.pop(k, None)
 
     # hook: called by Tracker when a KF slot is filled
     def _create_new_keyframe(self, fr):
@@ -88,6 +120,7 @@ class VioTracker(Tracker):
         super()._create_new_keyframe(fr)
         slot = self.ref_kf
         self.kf_pre[slot] = self._preintegrate_rows(rows)
+        self.kf_imu_rows[slot] = rows
         self.kf_order.append(slot)
         self.imu_since_kf = []
         # NavState seeded from the visual pose
@@ -163,58 +196,110 @@ class VioTracker(Tracker):
               f"bg={np.asarray(self.bg)} ba={np.asarray(self.ba)}")
 
     # ------------------------------------------------------------------
+    MAX_FIXED_RING = 10
+    WINDOW_MP_CAP = 2048
+
+    def _kf_navstate(self, k: int) -> ns_mod.NavState:
+        if k in self.kf_ns:
+            return self.kf_ns[k]
+        T_cw = {"q": self.ms.kf_q[k], "t": self.ms.kf_t[k]}
+        return ns_mod.tcw_to_navstate(T_cw, self.Tbc, bg=self.bg, ba=self.ba)
+
     def _vi_window_ba(self):
-        """Sliding-window NavState refinement after each KF (reference
-        LocalBundleAdjustmentNavState with window size
-        LocalMapping.LocalWindowSize=10)."""
+        """Sliding-window NavState + map-point refinement after each KF
+        (reference LocalBundleAdjustmentNavState, window size
+        LocalMapping.LocalWindowSize=10, /root/reference/src/Optimizer.cc:
+        863-1279): the last W keyframes' NavStates are free, map points
+        they observe are free (Schur-eliminated 3x3 blocks), and KFs
+        outside the window that observe those points join as FIXED
+        vertices contributing projection edges only (:939-1005)."""
         W = self.cfg.local_window_size
         order = self.kf_order[-W:]
         if len(order) < 3:
             return
         n = len(order)
-        ns = jax.tree.map(lambda *x: jnp.stack(x),
-                          *[self.kf_ns[k] for k in order])
         pres = [self.kf_pre[k] for k in order[1:]]
         if any(p is None for p in pres):
             return
-        pre = jax.tree.map(lambda *x: jnp.stack(x), *pres)
 
-        # observations of the window KFs (fixed points)
-        obs_kf, obs_pt, obs_uv, obs_s2, obs_m = [], [], [], [], []
-        for i, k in enumerate(order):
-            mp = self.ms.kf_mp_idx[k]
-            valid = self.ms.kf_feat_mask[k] & (mp >= 0)
-            ids = jnp.where(valid, mp, 0)
-            obs_kf.append(jnp.full((ids.shape[0],), i, jnp.int32))
-            obs_pt.append(self.ms.mp_pos[ids])
+        # local point table: points observed by the window
+        member = np.zeros((self.cfg.max_map_points,), bool)
+        for k in order:
+            ids = np.asarray(self.ms.kf_mp_idx[k])
+            member[ids[ids >= 0]] = True
+        member &= np.asarray(self.ms.mp_mask)
+        local_ids = np.where(member)[0][:self.WINDOW_MP_CAP]
+        g2l = np.full((self.cfg.max_map_points,), -1, np.int64)
+        g2l[local_ids] = np.arange(len(local_ids))
+
+        # fixed observer ring: KFs outside the window seeing local points
+        obs_kfs = np.asarray(mapstate.observers_of(
+            self.ms, jnp.asarray(member)))
+        fixed = [int(k) for k in np.where(obs_kfs)[0]
+                 if k not in order][:self.MAX_FIXED_RING]
+        sel = list(order) + fixed
+        total = len(sel)
+
+        ns = jax.tree.map(lambda *x: jnp.stack(x),
+                          *[self._kf_navstate(k) for k in sel])
+        # preintegration segments only span the free temporal chain;
+        # pad the tail (fixed ring) with masked copies of the last segment
+        pres = pres + [pres[-1]] * (total - n)
+        pre = jax.tree.map(lambda *x: jnp.stack(x), *pres)
+        pre_mask = jnp.asarray(
+            np.arange(total - 1) < (n - 1))
+
+        obs_kf, obs_pid, obs_uv, obs_s2, obs_m = [], [], [], [], []
+        for i, k in enumerate(sel):
+            mp = np.asarray(self.ms.kf_mp_idx[k])
+            lid = g2l[np.where(mp >= 0, mp, 0)]
+            valid = np.asarray(self.ms.kf_feat_mask[k]) & (mp >= 0) \
+                & (lid >= 0)
+            obs_kf.append(np.full((mp.shape[0],), i, np.int32))
+            obs_pid.append(np.where(valid, lid, 0).astype(np.int32))
             obs_uv.append(self.ms.kf_uv[k])
             lvl = jnp.clip(self.ms.kf_level[k], 0, self.cfg.n_levels - 1)
             obs_s2.append(jnp.asarray(self.cfg.inv_level_sigma2)[lvl])
-            obs_m.append(valid & self.ms.mp_mask[ids])
+            obs_m.append(valid)
+
+        pid = jnp.asarray(np.concatenate(obs_pid))
+        pos = self.ms.mp_pos[jnp.asarray(local_ids)]
+        pt_pad = self.WINDOW_MP_CAP  # stable shape across calls
+        if len(local_ids) < pt_pad:
+            pos = jnp.concatenate(
+                [pos, jnp.zeros((pt_pad - len(local_ids), 3))])
+        pt_mask = jnp.asarray(np.arange(pt_pad) < len(local_ids))
 
         prob = vi_ba.ViWindowProblem(
             ns=ns, pre=pre,
-            pre_mask=jnp.ones(n - 1, bool),
-            kf_mask=jnp.ones(n, bool),
-            kf_fixed=jnp.zeros(n, bool).at[0].set(True),
-            obs_kf=jnp.concatenate(obs_kf),
-            obs_pt=jnp.concatenate(obs_pt),
+            pre_mask=pre_mask,
+            kf_mask=jnp.ones(total, bool),
+            kf_fixed=jnp.asarray(
+                np.array([False] * n + [True] * (total - n))
+            ).at[0].set(True),
+            obs_kf=jnp.asarray(np.concatenate(obs_kf)),
+            obs_pt=jnp.zeros((pid.shape[0], 3)),  # unused with points
             obs_uv=jnp.concatenate(obs_uv),
             obs_inv_sigma2=jnp.concatenate(obs_s2),
-            obs_mask=jnp.concatenate(obs_m),
+            obs_mask=jnp.asarray(np.concatenate(obs_m)),
             bg_hat=self.bg, ba_hat=self.ba)
+        pts = vi_ba.ViWindowPoints(pos=pos, mask=pt_mask, obs_pt_id=pid)
         cam = self.cfg.camera
-        out = vi_ba.local_ba_navstate(prob, self.gw, self.Tbc,
-                                      cam.fx, cam.fy, cam.cx, cam.cy,
-                                      iters=5)
+        out_ns, out_pos = vi_ba.local_ba_navstate(
+            prob, self.gw, self.Tbc, cam.fx, cam.fy, cam.cx, cam.cy,
+            iters=5, points=pts,
+            bias_walk=(self.cfg.gyro_bias_walk, self.cfg.acc_bias_walk))
         for i, k in enumerate(order):
-            ns_k = jax.tree.map(lambda a: a[i], out)
+            ns_k = jax.tree.map(lambda a: a[i], out_ns)
             self.kf_ns[k] = ns_k
             T_cw = ns_mod.navstate_to_tcw(ns_k, self.Tbc)
             self.ms = dataclasses.replace(
                 self.ms,
                 kf_q=self.ms.kf_q.at[k].set(T_cw["q"]),
                 kf_t=self.ms.kf_t.at[k].set(T_cw["t"]))
+        self.ms = dataclasses.replace(
+            self.ms, mp_pos=self.ms.mp_pos.at[jnp.asarray(local_ids)].set(
+                out_pos[:len(local_ids)]))
         self.last_ns = self.kf_ns[order[-1]]
 
     # ------------------------------------------------------------------
@@ -285,24 +370,23 @@ class VioTracker(Tracker):
         ns0 = ns_mod.tcw_to_navstate(fr.T_cw, self.Tbc,
                                      V=ns_pred.V, bg=self.bg, ba=self.ba)
         cam = cfg.camera
-        # the prior anchors the current navstate to its IMU PREDICTION
-        # from the previous frame's marginalized estimate (reference
-        # EdgeNavStatePrior built from the last frame's estimate +
-        # mMargCovInv, /root/reference/src/Optimizer.cc:560-618) — NOT to
-        # the current linearization point, which would zero the residual
-        # and turn the prior into pure damping
+        # Frame-Frame joint optimization (reference PoseOptimization
+        # Frame/Frame overload, /root/reference/src/Optimizer.cc:278-618):
+        # the previous frame's state is a FREE vertex anchored by ITS
+        # marginal prior (prior_H at the previous estimate); the returned
+        # H is the current frame's true marginal information (joint
+        # Hessian with the previous state Schur-eliminated) — the
+        # reference's computeMarginals + inverse, and next frame's prior.
         ns, inlier, n_in, H = vi_ba.pose_optimization_vi(
             ns0, self.last_ns, pre_f, self.gw, self.Tbc,
             pts, fr.uv, inv_s2, tracked & self.ms.mp_mask[ids],
             cam.fx, cam.fy, cam.cx, cam.cy,
             prior_H=self.prior_H,
-            prior_ns=None if self.prior_H is None else ns_pred,
-            bias_hat=(self.bg, self.ba))
+            prior_ns=None if self.prior_H is None else self.last_ns,
+            bias_hat=(self.bg, self.ba),
+            bias_walk=(cfg.gyro_bias_walk, cfg.acc_bias_walk))
         fr.T_cw = ns_mod.navstate_to_tcw(ns, self.Tbc)
         fr.mp_idx = jnp.where(inlier | ~tracked, fr.mp_idx, -1)
         self.last_ns = ns
-        # keep the vision+IMU information as the next frame's prior; the
-        # discount approximates marginalizing out the map points the
-        # reference does exactly (its Hessian is vision-only x2 inflated)
-        self.prior_H = H * 0.5
+        self.prior_H = H
         self.last_inliers = int(n_in)
