@@ -40,7 +40,11 @@ def _enable_compile_cache():
                      "assets", "bench_cache")
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING: the warm-up wall is not a few big programs but
+    # hundreds of small eager-op compiles (0.2-0.8 s each over the
+    # tunnel) during init/KF frames — with the 0.5 s threshold those
+    # never got cached and every driver run paid them again
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 

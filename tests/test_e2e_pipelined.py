@@ -1,0 +1,105 @@
+"""Pipelined (deferred-gate) tracking must not be second-class: same
+keyframe decisions and trajectory quality as the synchronous path, plus
+correct drop-and-recover semantics when a frame fails mid-stream.
+
+The pipelined mode is the throughput path behind the system benchmark
+(the TPU-native analogue of the reference's tracking/mapping thread
+decoupling, /root/reference/src/Tracking.cc + LocalMapping.cc run as
+threads); its gate decisions land one frame late, which must not change
+WHAT is decided — only when."""
+
+import numpy as np
+import pytest
+
+from ygz_tpu.core import lie
+from ygz_tpu.eval import ate
+from ygz_tpu.pipeline import tracking
+from ygz_tpu.pipeline.system import System
+
+import synthetic
+from test_e2e_mono import small_config
+
+
+def _run(pipelined, corrupt=(), n_frames=50):
+    cfg = small_config()
+    tex = synthetic.make_texture(0)
+    traj_gt = synthetic.orbit_trajectory(n_frames)
+    sys_ = System(cfg, use_loop_closing=False, pipelined=pipelined)
+    rng = np.random.RandomState(0)
+    states = []
+    for i, (ts, T_cw) in enumerate(traj_gt):
+        img = synthetic.render(tex, T_cw)
+        if i in corrupt:
+            img = (rng.rand(*np.asarray(img).shape) * 255.0).astype(
+                np.float32)
+        sys_.track_monocular(np.asarray(img), ts)
+        states.append(sys_.tracker.state)
+    sys_.tracker.flush_pipeline()
+    return cfg, sys_, traj_gt, states
+
+
+@pytest.fixture(scope="module")
+def sync_run():
+    return _run(pipelined=False)
+
+
+@pytest.fixture(scope="module")
+def pipe_run():
+    return _run(pipelined=True)
+
+
+class TestPipelinedParity:
+    def test_same_keyframes(self, sync_run, pipe_run):
+        """Deferred gates decide one frame late but must decide the SAME
+        thing: identical keyframe count and source frame ids."""
+        _, s_sync, _, _ = sync_run
+        _, s_pipe, _, _ = pipe_run
+        def kf_fids(s):
+            ms = s.tracker.ms
+            alive = np.asarray(ms.kf_mask)
+            return sorted(np.asarray(ms.kf_frame_id)[alive].tolist())
+        assert s_sync.tracker.n_kf == s_pipe.tracker.n_kf
+        assert kf_fids(s_sync) == kf_fids(s_pipe)
+
+    def test_same_trajectory_coverage(self, sync_run, pipe_run):
+        _, s_sync, _, _ = sync_run
+        _, s_pipe, _, _ = pipe_run
+        n_sync = sum(1 for r in s_sync.tracker.trajectory
+                     if not r.get("lost"))
+        n_pipe = sum(1 for r in s_pipe.tracker.trajectory
+                     if not r.get("lost"))
+        assert n_pipe >= n_sync - 1   # flush records the tail frame
+
+    def test_ate_parity(self, sync_run, pipe_run):
+        gt_of = lambda traj: [
+            (ts, np.asarray(lie.se3_matrix(lie.se3_inverse(T))))
+            for ts, T in traj]
+        _, s_sync, traj_gt, _ = sync_run
+        _, s_pipe, _, _ = pipe_run
+        r_sync = ate.ate_rmse(s_sync.get_trajectory(), gt_of(traj_gt),
+                              with_scale=True, max_dt=0.05)
+        r_pipe = ate.ate_rmse(s_pipe.get_trajectory(), gt_of(traj_gt),
+                              with_scale=True, max_dt=0.05)
+        assert r_pipe["rmse"] < max(2.0 * r_sync["rmse"], 0.08), \
+            (r_sync, r_pipe)
+
+
+class TestPipelinedFailureRecovery:
+    def test_corrupt_frames_drop_and_recover(self):
+        """Garbage frames mid-stream: the deferred gate must detect the
+        failure at resolve time, drop those frames from the trajectory
+        (lost=True), re-track synchronously, and return to OK — the
+        reference's track-failure path (Tracking.cc mState=LOST +
+        Relocalization) folded into the pipeline's resolve step."""
+        corrupt = {25, 26}
+        cfg, s, traj_gt, states = _run(pipelined=True, corrupt=corrupt)
+        tr = s.tracker
+        assert tr.state == tracking.OK, "never recovered after corruption"
+        lost_ids = {r["frame_id"] for r in tr.trajectory if r.get("lost")}
+        assert lost_ids & corrupt, "corrupt frames not detected as lost"
+        # frames after recovery keep tracking accuracy
+        gt = [(ts, np.asarray(lie.se3_matrix(lie.se3_inverse(T))))
+              for ts, T in traj_gt]
+        res = ate.ate_rmse(s.get_trajectory(), gt, with_scale=True,
+                           max_dt=0.05)
+        assert res["rmse"] < 0.12, res

@@ -114,6 +114,29 @@ class TestVio:
         recs = [r for r in tr.trajectory if not r.get("lost")]
         assert len(recs) > 60
 
+    def test_metric_scale_recovered_e2e(self, vio_run):
+        """After the tracker's OWN VI init rescales the map, the KF
+        trajectory is metric: Horn alignment (with scale) against ground
+        truth must find a scale near 1 (the reference recovers
+        1.02-1.05 on EuRoC V1_01, /root/reference/Note.md 2017.3.20)."""
+        from ygz_tpu.eval.ate import horn_align
+        cfg, sys_, P, qs = vio_run
+        tr = sys_.tracker
+        assert tr.vins_inited, "VI init never fired"
+        ms = tr.ms
+        ts = np.asarray(ms.kf_timestamp)
+        est, gt = [], []
+        for k in tr.kf_order:
+            fidx = int(round(ts[k] * FPS)) * STEPS_PER_FRAME
+            T_wc = lie.se3_inverse({"q": ms.kf_q[k], "t": ms.kf_t[k]})
+            est.append(np.asarray(T_wc["t"]))
+            gt.append(P[fidx])
+        est, gt = np.stack(est), np.stack(gt)
+        span = np.linalg.norm(gt - gt.mean(0), axis=1).max()
+        assert span > 0.3, f"trajectory too small to observe scale: {span}"
+        s, R, t = horn_align(est, gt, with_scale=True)
+        assert abs(s - 1.0) < 0.07, f"metric scale off: {s:.3f}"
+
     def test_vi_init_fires_e2e(self, vio_run):
         """The tracker's OWN synchronous TryInitVIO (no ground-truth
         assist) fires end-to-end and recovers the inertial quantities

@@ -140,6 +140,96 @@ class TestVocabulary:
         assert int(jnp.argmax(scores)) == 3
 
 
+class TestDbowTextIO:
+    """ORB-SLAM text-format vocabulary import/export
+    (TemplatedVocabulary.h:1362-1478 parity), including the INCOMPLETE
+    trees real DBoW2 training produces."""
+
+    def test_roundtrip_own_trainer(self, tmp_path):
+        rng = np.random.RandomState(7)
+        desc = random_desc(rng, 400)
+        vocab = vocabulary.train_vocabulary(desc, k=3, L=2, seed=0)
+        p = str(tmp_path / "voc.txt")
+        vocabulary.save_dbow_text(vocab, p)
+        back = vocabulary.load_dbow_text(p)
+        assert back.k == 3 and back.L == 2
+        np.testing.assert_array_equal(np.asarray(back.node_desc),
+                                      np.asarray(vocab.node_desc))
+        np.testing.assert_allclose(np.asarray(back.word_idf),
+                                   np.asarray(vocab.word_idf), rtol=1e-5)
+        q = jnp.asarray(desc[:64])
+        m = jnp.ones(64, bool)
+        np.testing.assert_array_equal(
+            np.asarray(vocabulary.transform(vocab, q, m)),
+            np.asarray(vocabulary.transform(back, q, m)))
+
+    def _desc_line(self, byte0, parent, is_leaf, weight):
+        by = [byte0] + [0] * 31
+        return (f"{parent} {is_leaf} " +
+                " ".join(str(b) for b in by) + f" {weight}")
+
+    def test_incomplete_tree(self, tmp_path):
+        """k=3, L=2 tree where the root has only TWO children and one of
+        them is a word node at level 1 (both legal in DBoW2 output):
+        descent must never route into empty slots, and the early leaf
+        must behave as a word with its file weight."""
+        # node ids: A=1 (internal, byte 0), B=2 (leaf at level 1,
+        # byte 255, weight 2.5); A's children: leaves a0=3 (byte 0,
+        # w 1.0), a1=4 (byte 60: 4 bits, w 1.5)
+        lines = ["3 2 0 0",
+                 self._desc_line(0, 0, 0, 0.0),
+                 self._desc_line(255, 0, 1, 2.5),
+                 self._desc_line(0, 1, 1, 1.0),
+                 self._desc_line(60, 1, 1, 1.5)]
+        p = str(tmp_path / "voc.txt")
+        (tmp_path / "voc.txt").write_text("\n".join(lines) + "\n")
+        vocab = vocabulary.load_dbow_text(p)
+        assert not bool(np.asarray(vocab.node_valid).all())
+
+        def word_of(byte0):
+            d = np.zeros((1, 32), np.uint8)
+            d[0, 0] = byte0
+            ids = vocabulary.transform(
+                vocab, jnp.asarray(d.view(np.uint32)), jnp.ones(1, bool))
+            return int(ids[0])
+
+        w_a0, w_a1, w_b = word_of(0), word_of(60), word_of(255)
+        assert len({w_a0, w_a1, w_b}) == 3       # three distinct words
+        # early-leaf B: weight carried to its propagated level-2 slot
+        idf = np.asarray(vocab.word_idf)
+        assert idf[w_b] == 2.5
+        assert idf[w_a0] == 1.0 and idf[w_a1] == 1.5
+        # a descriptor near B (one bit off 0xff) still lands in B's word,
+        # NOT in an empty slot of the incomplete root
+        d = np.zeros((1, 32), np.uint8)
+        d[0, 0] = 254
+        ids = vocabulary.transform(vocab, jnp.asarray(d.view(np.uint32)),
+                                   jnp.ones(1, bool))
+        assert int(ids[0]) == w_b
+
+    def test_incomplete_tree_retrieval_smoke(self, tmp_path):
+        """Export-import a trained vocab, then check database retrieval
+        still picks the right keyframe through the imported instance."""
+        rng = np.random.RandomState(8)
+        base = random_desc(rng, 500)
+        vocab = vocabulary.train_vocabulary(base, k=4, L=3, seed=2)
+        p = str(tmp_path / "voc.txt")
+        vocabulary.save_dbow_text(vocab, p)
+        voc2 = vocabulary.load_dbow_text(p)
+
+        def vec(d):
+            ids = vocabulary.transform(voc2, jnp.asarray(d),
+                                       jnp.ones(len(d), bool))
+            return vocabulary.bow_vector(voc2, ids, jnp.ones(len(d), bool))
+
+        kfs = [base[i * 50:(i + 1) * 50] for i in range(8)]
+        db = jnp.stack([vec(k) for k in kfs])
+        query = vec(perturb_desc(rng, kfs[5], 3))
+        scores = vocabulary.score_against_database(
+            query, db, jnp.ones(8, bool))
+        assert int(jnp.argmax(scores)) == 5
+
+
 class TestPnP:
     """POSIT-based PnP RANSAC (pipeline/relocalization.pnp_ransac)."""
 

@@ -74,6 +74,67 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=2e-4)
 
 
+class TestShardedSchurBA:
+    """Exact sharded Schur local BA (the pipeline engine on a mesh)."""
+
+    def _problem(self, n_mp=64, noise=0.03):
+        from test_ba import make_scene
+        kf_q, kf_t, pts, obs = make_scene(n_kf=4, n_mp=n_mp, seed=3,
+                                          noise_px=0.2)
+        rng = np.random.RandomState(4)
+        dq = jnp.asarray(rng.randn(4, 6).astype(np.float32) * 0.01
+                         ).at[:2].set(0.0)
+        T_pert = lie.se3_retract({"q": kf_q, "t": kf_t}, dq)
+        mp_pert = pts + jnp.asarray(
+            rng.randn(*pts.shape).astype(np.float32) * noise)
+        O_pad = 1024
+        O = obs.kf.shape[0]
+        pad = ba.Observations(
+            kf=jnp.zeros((O_pad,), jnp.int32).at[:O].set(obs.kf),
+            mp=jnp.zeros((O_pad,), jnp.int32).at[:O].set(obs.mp),
+            uv=jnp.zeros((O_pad, 2)).at[:O].set(obs.uv),
+            ur=jnp.full((O_pad,), -1.0).at[:O].set(obs.ur),
+            inv_sigma2=jnp.ones((O_pad,)).at[:O].set(obs.inv_sigma2),
+            mask=jnp.zeros((O_pad,), bool).at[:O].set(obs.mask))
+        return ba.BAProblem(
+            kf_q=T_pert["q"], kf_t=T_pert["t"], mp=mp_pert, obs=pad,
+            kf_fixed=jnp.array([True, True, False, False]),
+            kf_mask=jnp.ones((4,), bool),
+            mp_mask=jnp.ones((n_mp,), bool)), (kf_q, kf_t, pts)
+
+    def test_matches_single_device_schur(self, mesh):
+        """Same two-stage schedule, same problem: the sharded engine must
+        land on the single-chip Schur engine's solution."""
+        prob, (kf_q, kf_t, pts) = self._problem()
+        p1, inl1 = ba.local_bundle_adjustment(prob, CAM)
+        p8, inl8 = sharding.sharded_local_ba(mesh, prob, CAM)
+        np.testing.assert_allclose(np.asarray(p8.kf_t),
+                                   np.asarray(p1.kf_t), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p8.mp),
+                                   np.asarray(p1.mp), atol=5e-3)
+        # and both recover the true scene
+        np.testing.assert_allclose(np.asarray(p8.kf_t), np.asarray(kf_t),
+                                   atol=5e-3)
+        # inlier masks agree in original observation order
+        agree = (np.asarray(inl1) == np.asarray(inl8)).mean()
+        assert agree > 0.98, agree
+
+    def test_bin_observations_partition(self, mesh):
+        """Every binned observation references a point in its device's
+        block, and no valid observation is lost at 2x slack."""
+        prob, _ = self._problem()
+        M, D = prob.mp.shape[0], 8
+        O = prob.obs.kf.shape[0]
+        O_per = 2 * O // D
+        binned, src = sharding.bin_observations_by_point(
+            prob.obs, M, D, O_per)
+        blk = np.asarray(binned.mp) // (M // D)
+        slot_dev = np.arange(D * O_per) // O_per
+        m = np.asarray(binned.mask)
+        np.testing.assert_array_equal(blk[m], slot_dev[m])
+        assert m.sum() == int(np.asarray(prob.obs.mask).sum())
+
+
 class TestBatchedTracking:
     def test_pose_refine_batch(self, mesh):
         rng = np.random.RandomState(2)

@@ -39,6 +39,10 @@ class Vocabulary:
     node_desc: jnp.ndarray      # [n_internal_plus_leaves, 8] uint32, levels
                                 # concatenated: level1 (k), level2 (k^2)...
     word_idf: jnp.ndarray       # [k^L] float32 idf weights
+    node_valid: Optional[jnp.ndarray] = None
+    # [n_nodes] bool — False marks dense slots with no real tree node
+    # (imported DBoW2 trees are NOT complete k-ary: nodes may have fewer
+    # than k children and leaves occur above level L). None = complete.
 
     @property
     def n_words(self) -> int:
@@ -126,6 +130,10 @@ def transform(vocab: Vocabulary, desc, mask):
         cand = vocab.node_desc[child_ids]              # [N, k, 8]
         x = jnp.bitwise_xor(cand, desc[:, None, :])
         d = jnp.sum(jax.lax.population_count(x), axis=-1)
+        if vocab.node_valid is not None:
+            # imported (incomplete) trees: empty child slots must never
+            # win the argmin — their zero descriptors are meaningless
+            d = jnp.where(vocab.node_valid[child_ids], d, 1 << 14)
         node = node * k + jnp.argmin(d, axis=-1).astype(jnp.int32)
     return jnp.where(mask, node, -1)
 
@@ -153,20 +161,31 @@ def score_against_database(query_vec, db_vecs, db_mask):
 
 
 def load_dbow_text(path: str) -> Vocabulary:
-    """Load an ORB-SLAM-format text vocabulary (k L s1 s2 header, then one
-    node per line: parent is-leaf 32-bytes weight). Only usable when the
-    descriptor pattern matches the one the vocabulary was trained on;
-    provided for drop-in parity with the reference's ORBvoc.txt loader
-    (/root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1362)."""
+    """Load an ORB-SLAM-format text vocabulary (`k L scoring weighting`
+    header, then one node per line: `parent is-leaf byte0..byte31 weight`,
+    node ids implicit in line order starting at 1, root = 0). Only usable
+    when the descriptor pattern matches the one the vocabulary was trained
+    on; drop-in parity with the reference's ORBvoc.txt loader
+    (/root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1362-1447).
+
+    Real DBoW2 trees are NOT complete k-ary trees: k-means can produce
+    fewer than k clusters, so interior nodes may have missing children and
+    leaves (word nodes, is_leaf=1) occur at any level. The dense layout
+    handles both: empty child slots are marked invalid (transform gives
+    them infinite distance), and an early leaf is propagated down a
+    single-child chain of copies so every descent terminates at a unique
+    level-L word slot carrying the leaf's weight."""
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
         n_words = k ** L
         n_nodes = sum(k ** l for l in range(1, L + 1))
         node_desc = np.zeros((n_nodes, 8), np.uint32)
+        node_valid = np.zeros((n_nodes,), bool)
         weights = np.zeros((n_words,), np.float32)
-        # text format lists nodes in creation order with explicit parents;
-        # rebuild positions by walking parent pointers
+        # nodes appear in id order and parents precede children
+        # (saveToTextFile writes m_nodes[1..] in index order); rebuild
+        # dense (level, index) positions by walking parent pointers
         children_count: dict = {}
         pos_of = {0: (0, 0)}  # node line-id -> (level, index-in-level)
         line_id = 0
@@ -178,13 +197,56 @@ def load_dbow_text(path: str) -> Vocabulary:
             parent = int(parts[0])
             plevel, pindex = pos_of[parent]
             slot = children_count.get(parent, 0)
+            if slot >= k or plevel >= L:
+                raise ValueError(
+                    f"malformed vocabulary: node {line_id} overflows "
+                    f"k={k}/L={L} under parent {parent}")
             children_count[parent] = slot + 1
             level, index = plevel + 1, pindex * k + slot
             pos_of[line_id] = (level, index)
             off = sum(k ** l for l in range(1, level))
             by = np.array([int(x) for x in parts[2:34]], np.uint8)
             node_desc[off + index] = by.view(np.uint32)
-            if int(parts[1]) == 1 and level == L:  # leaf
-                weights[index] = float(parts[34])
+            node_valid[off + index] = True
+            if int(parts[1]) == 1:  # word node, possibly above level L
+                lvl, idx = level, index
+                while lvl < L:
+                    lvl, idx = lvl + 1, idx * k
+                    o = sum(k ** l for l in range(1, lvl))
+                    node_desc[o + idx] = by.view(np.uint32)
+                    node_valid[o + idx] = True
+                weights[idx] = float(parts[34])
     return Vocabulary(k=k, L=L, node_desc=jnp.asarray(node_desc),
-                      word_idf=jnp.asarray(weights))
+                      word_idf=jnp.asarray(weights),
+                      node_valid=jnp.asarray(node_valid))
+
+
+def save_dbow_text(vocab: Vocabulary, path: str) -> None:
+    """Export to the ORB-SLAM text format (inverse of `load_dbow_text`;
+    format per TemplatedVocabulary.h:1453-1478 saveToTextFile). Dense
+    slots are written in level order with line ids remapped over valid
+    nodes only, so a round trip reproduces the dense layout exactly."""
+    k, L = vocab.k, vocab.L
+    desc = np.asarray(vocab.node_desc)
+    idf = np.asarray(vocab.word_idf)
+    valid = (np.asarray(vocab.node_valid) if vocab.node_valid is not None
+             else np.ones((desc.shape[0],), bool))
+    lines = []
+    line_of = {}          # (level, index) -> line id (root handled as 0)
+    next_id = 1
+    for level in range(1, L + 1):
+        off = sum(k ** l for l in range(1, level))
+        for index in range(k ** level):
+            if not valid[off + index]:
+                continue
+            line_of[(level, index)] = next_id
+            next_id += 1
+            parent_id = 0 if level == 1 else line_of[(level - 1, index // k)]
+            is_leaf = 1 if level == L else 0
+            w = float(idf[index]) if level == L else 0.0
+            by = desc[off + index].view(np.uint8)
+            lines.append(f"{parent_id} {is_leaf} "
+                         + " ".join(str(int(b)) for b in by) + f" {w}")
+    with open(path, "w") as f:
+        f.write(f"{k} {L} 0 0\n")
+        f.write("\n".join(lines) + "\n")

@@ -55,6 +55,11 @@ class SlamConfig:
     gyro_bias_walk: float = 1.9393e-5 * 100.0
     acc_bias_walk: float = 3.0e-3 * 100.0
     gravity: float = 9.810
+    # multi-chip: route local BA through the mesh-sharded exact Schur
+    # engine (parallel/sharding.sharded_local_ba). None = auto (on when
+    # >1 accelerator device is visible); tests/dryruns force True on a
+    # virtual CPU mesh.
+    sharded_ba: Optional[bool] = None
     # capacities (TPU static shapes)
     max_keyframes: int = 256
     max_map_points: int = 16384
