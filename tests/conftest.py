@@ -12,9 +12,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # pin codegen to AVX2: the persistent compile cache is COMMITTED and
+    # shared across machines — an entry compiled with host-specific ISA
+    # (AVX-512/AMX + prefer-no-gather) segfaults when deserialized on a
+    # host without those features (observed: SIGSEGV in
+    # compilation_cache.get_executable_and_time)
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

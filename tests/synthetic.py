@@ -98,6 +98,40 @@ def circuit_trajectory(n_frames: int, width: float = 1.6,
     return out
 
 
+def multi_lap_trajectory(n_frames: int, laps: float = 2.0,
+                         width: float = 6.0, height: float = 4.0,
+                         dt: float = 0.1, smooth: int = 15):
+    """`laps` times around the rectangular circuit — the long-sequence
+    analogue of circuit_trajectory (KITTI-scale runs re-traverse the
+    same streets many times)."""
+    per = 2.0 * (width + height)
+    xs, ys = [], []
+    for i in range(n_frames):
+        d = (per * laps * i / max(n_frames - 1, 1)) % per
+        if d < width:
+            x, y = d, 0.0
+        elif d < width + height:
+            x, y = width, d - width
+        elif d < 2 * width + height:
+            x, y = width - (d - width - height), height
+        else:
+            x, y = 0.0, height - (d - 2 * width - height)
+        xs.append(x - width / 2.0)
+        ys.append(y - height / 2.0)
+    if smooth > 1:
+        k = np.ones(smooth) / smooth
+        pad = smooth // 2
+        xs = np.convolve(np.pad(xs, pad, mode="edge"), k, "valid")
+        ys = np.convolve(np.pad(ys, pad, mode="edge"), k, "valid")
+    out = []
+    for i in range(n_frames):
+        xi = jnp.asarray(np.array([xs[i], ys[i], 0.0, 0.0, 0.0, 0.0],
+                                  np.float32))
+        T_wc = lie.se3_exp(xi)
+        out.append((i * dt, lie.se3_inverse(T_wc)))
+    return out
+
+
 _FG_CACHE = {}
 
 

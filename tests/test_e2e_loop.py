@@ -59,7 +59,28 @@ def loop_config():
 def train_world_vocab(cfg):
     """Train a vocabulary on landmark worlds with DIFFERENT seeds from
     the test world (the reference ships ORBvoc trained on unrelated
-    imagery; same discipline here)."""
+    imagery; same discipline here). Cached on disk keyed by the vocab
+    shape — training renders 18 frames and is the loop fixtures'
+    dominant fixed cost."""
+    import os
+    from ygz_tpu.matching.vocabulary import Vocabulary
+    import jax.numpy as jnp
+    cache = os.path.join(os.path.dirname(__file__), ".fixture_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"vocab_k{cfg.vocab_k}_L{cfg.vocab_L}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return Vocabulary(k=int(z["k"]), L=int(z["L"]),
+                          node_desc=jnp.asarray(z["node_desc"]),
+                          word_idf=jnp.asarray(z["word_idf"]))
+    vocab = _train_world_vocab_uncached(cfg)
+    np.savez(path, k=vocab.k, L=vocab.L,
+             node_desc=np.asarray(vocab.node_desc),
+             word_idf=np.asarray(vocab.word_idf))
+    return vocab
+
+
+def _train_world_vocab_uncached(cfg):
     descs = []
     for seed in (5, 6, 7):
         tex = synthetic.make_landmark_texture(seed)

@@ -153,3 +153,41 @@ class TestBatchedTracking:
         T, n = sharding.batched_pose_refine(mesh, T0, pts, uv, mask, CAM)
         err = lie.se3_log(lie.se3_compose(lie.se3_inverse(T), T_true))
         assert float(jnp.abs(err).max()) < 1e-3
+
+
+@pytest.mark.slow
+class TestShardedPipeline:
+    """VERDICT #10: the sharded Schur BA must run INSIDE the pipeline
+    (LocalMapping._local_ba routes through sharding.sharded_local_ba when
+    cfg.sharded_ba is forced on), and the system trajectory must match
+    the single-device run."""
+
+    def _run(self, sharded):
+        import dataclasses
+        import synthetic
+        from ygz_tpu.eval import ate
+        from ygz_tpu.pipeline.system import System, RGBD
+        from test_e2e_stereo_rgbd import stereo_config
+        cfg = dataclasses.replace(stereo_config(), sharded_ba=sharded)
+        tex = synthetic.make_texture(4)
+        traj = synthetic.orbit_trajectory(20)
+        s = System(cfg, sensor=RGBD, use_loop_closing=False)
+        for ts, T_cw in traj:
+            img, depth = synthetic.render_with_depth(tex, T_cw, seed=4)
+            s.track_rgbd(img, depth, ts)
+        from ygz_tpu.core import lie as lie_mod
+        gt = [(ts, np.asarray(lie_mod.se3_matrix(lie_mod.se3_inverse(T))))
+              for ts, T in traj]
+        res = ate.ate_rmse(s.get_trajectory(), gt, with_scale=False,
+                           max_dt=0.05)
+        assert s.mapper._ba_mesh_checked
+        assert (s.mapper._ba_mesh is not None) == sharded
+        return res["rmse"]
+
+    def test_system_ate_matches_single_device(self):
+        r_sharded = self._run(sharded=True)
+        r_single = self._run(sharded=False)
+        # both must track the world well; the sharded Schur BA is the
+        # same math so the difference is iteration-order noise
+        assert r_sharded < 0.06, r_sharded
+        assert abs(r_sharded - r_single) < 0.03, (r_sharded, r_single)

@@ -140,6 +140,10 @@ def optimize_essential_graph(ms, loop_a: int, loop_b: int,
     """
     K = ms.kf_q.shape[0]
     kf_ids = np.where(np.asarray(ms.kf_mask))[0]
+    # the spanning chain is TEMPORAL: with slot recycling, slot index
+    # order diverges from time order, and a slot-ordered "chain" would
+    # link temporally distant KFs with drift-contaminated measurements
+    kf_ids = kf_ids[np.argsort(np.asarray(ms.kf_frame_id)[kf_ids])]
     n = len(kf_ids)
     if n < 3:
         return ms

@@ -205,14 +205,22 @@ def sparse_image_align(T_init, pyr_ref, pyr_cur, uv_ref0, points_ref, mask,
 
 def align2d(img_cur, ref_patches, uv_init, mask,
             num_iters: int = 10, half: int = ALIGN_HALF_PATCH,
-            conv_eps: float = 0.03):
+            conv_eps: float = 0.03, with_score: bool = False):
     """Refine M keypoint positions by KLT with a mean-brightness term.
 
     img_cur:     [H, W] current level image
     ref_patches: [M, P] reference patches (P = (2*half)^2), e.g. from
                  warp_affine_patches
     uv_init:     [M, 2] starting positions on this level
-    Returns (uv_refined [M,2], converged [M] bool).
+    Returns (uv_refined [M,2], converged [M] bool); with_score=True
+    appends a zero-mean NCC [M] between the reference patch and the
+    image at the converged position. KLT "convergence" (small last
+    step) is necessary but not sufficient for a true match: on a
+    content-free or corrupted image the normal equations go
+    near-singular, steps shrink, and every lane reports converged with
+    garbage underneath — the NCC is the photometric proof the gate
+    needs (the reference gets the equivalent protection from its
+    descriptor-distance checks on the feature path).
 
     Parameters per point: (du, dv, dm) with residual
     r = I_cur(x + d) - I_ref - dm, J = [gu, gv, -1]; same estimator the
@@ -256,7 +264,16 @@ def align2d(img_cur, ref_patches, uv_init, mask,
         (uv_init, jnp.zeros((M,), jnp.float32),
          jnp.full((M,), 1e9, jnp.float32), jnp.int32(0)))
     converged = mask & blk_valid & (last_step < conv_eps)
-    return uv, converged
+    if not with_score:
+        return uv, converged
+    val, _, _, in_range = sample_blocks_shifted(
+        blocks, uv - center, half, margin, with_grad=True)
+    a = val - jnp.mean(val, axis=-1, keepdims=True)
+    bzm = ref_patches - jnp.mean(ref_patches, axis=-1, keepdims=True)
+    ncc = jnp.sum(a * bzm, axis=-1) / jnp.sqrt(
+        jnp.sum(a * a, axis=-1) * jnp.sum(bzm * bzm, axis=-1) + 1e-6)
+    converged = converged & in_range
+    return uv, converged, ncc
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels", "scale_factors",

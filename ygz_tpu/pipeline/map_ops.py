@@ -267,10 +267,15 @@ def search_local_points_direct(ms: MapState, cand_idx, T_cw, pyr_cur,
         sel = valid & (search_level == lvl)
         s = 1.0 / (scale_factor ** lvl)
         uv_lvl = jnp.stack([u, v], axis=-1) * s
-        uv_ref_out, conv = align.align2d(pyr_cur[lvl], ref_patches, uv_lvl, sel)
+        uv_ref_out, conv, ncc = align.align2d(
+            pyr_cur[lvl], ref_patches, uv_lvl, sel, with_score=True)
         uv0 = uv_ref_out / s
         moved = jnp.linalg.norm(uv0 - jnp.stack([u, v], -1), axis=-1)
-        ok = sel & conv & (moved < 10.0 * (scale_factor ** lvl))
+        # the NCC gate is what makes "converged" mean "matched": on a
+        # corrupted/blank frame KLT steps vanish (singular H) and every
+        # lane would pass the step test with garbage underneath
+        ok = sel & conv & (moved < 10.0 * (scale_factor ** lvl)) \
+            & (ncc > 0.4)
         uv_out = jnp.where(ok[:, None], uv0, uv_out)
         success = success | ok
     return uv_out, search_level, success, valid

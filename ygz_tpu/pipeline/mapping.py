@@ -37,6 +37,8 @@ LOCAL_MP_CAP = 4096
 class LocalMapping:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
+        self._ba_mesh = None          # lazily resolved device mesh
+        self._ba_mesh_checked = False
         # recently created points: (mp_id, kf_count_at_creation)
         self.recent: List[Tuple[int, int]] = []
         self.kf_count = 0
@@ -68,18 +70,36 @@ class LocalMapping:
     def _cull_keyframes(self, tracker, slot: int):
         """Reference KeyFrameCulling (/root/reference/src/LocalMapping.cc:
         1419-1500): a covisible KF is redundant if >=90% of its map points
-        are observed by at least 3 other keyframes. The reference's VIO
-        guards (keep the last-N chain, >=0.15 s gaps) apply when IMU is on
-        — the temporal preintegration chain must stay contiguous, so VIO
-        mode skips culling entirely here (conservative superset of the
-        reference's rule)."""
-        if getattr(tracker, "vins_inited", False) or self.cfg.use_imu:
-            return
+        are observed by at least 3 other keyframes. When IMU is on, the
+        reference's VIO guards apply (:1440-1452): never cull recent KFs
+        (frame-id gap <= 10), never the temporal predecessor of the
+        current KF, never a KF within 0.15 s of it — the preintegration
+        chain across a culled KF is re-stitched by the tracker's
+        on_keyframe_killed (VioTracker merges the IMU gap into the
+        successor, the reference's SetBadFlag + ComputePreInt path)."""
         ms = tracker.ms
+        use_imu = self.cfg.use_imu
+        if use_imu:
+            cur_ts = float(np.asarray(ms.kf_timestamp)[slot])
+            order = list(getattr(tracker, "kf_order", []))
+            pred = order[order.index(slot) - 1] \
+                if slot in order and order.index(slot) > 0 else -1
+            # the reference's "<= 10" guard is on KEYFRAME ids — it
+            # protects the ten most recent keyframes, not a ten-frame
+            # window (at the dense pre-init KF cadence a frame-id window
+            # would thin the chain and wreck the [s,g,ba] conditioning)
+            recent = set(order[-10:])
         obs_count = np.asarray(ms.mp_obs_count)
         for k in self._covisible(tracker, slot, 10):
             if k == slot or k == tracker.ref_kf or k <= 1:
                 continue
+            if use_imu:
+                if k in recent:
+                    continue
+                if k == pred:
+                    continue
+                if float(np.asarray(ms.kf_timestamp)[k]) >= cur_ts - 0.15:
+                    continue
             mp = np.asarray(ms.kf_mp_idx[k])
             valid = (mp >= 0) & np.asarray(ms.kf_feat_mask[k])
             ids = mp[valid]
@@ -205,14 +225,27 @@ class LocalMapping:
             if n_new == 0:
                 continue
             stats["created"] += n_new
-            idx1 = np.where(good_np)[0]
-            slots = tracker.alloc_mp_slots(n_new)
-            idx1 = idx1[:len(slots)]
-            if len(slots) == 0:
+            # PADDED to the static feature capacity: a variable-length
+            # np.where index gives every (KF pair, count) its own
+            # gather/scatter shapes — dozens of fresh device programs per
+            # keyframe (the round-2 bench warm-up torrent)
+            N = cfg.n_features
+            idx1_np = np.where(good_np)[0][:N]
+            slots_np = tracker.alloc_mp_slots(len(idx1_np))
+            idx1_np = idx1_np[:len(slots_np)]
+            if len(slots_np) == 0:
                 continue
-            f1 = jnp.asarray(idx1)
+            n = len(slots_np)
+            valid_np = np.zeros((N,), bool)
+            valid_np[:n] = True
+            f1_pad = np.zeros((N,), np.int32)
+            f1_pad[:n] = idx1_np
+            sl_pad = np.zeros((N,), np.int32)
+            sl_pad[:n] = slots_np
+            vmask = jnp.asarray(valid_np)
+            f1 = jnp.asarray(f1_pad)
             f2 = res.idx[f1]
-            sl = jnp.asarray(slots)
+            sl = jnp.asarray(sl_pad)
 
             lvl = ms.kf_level[slot][f1]
             patches = tracker._patches_at_levels(fr.pyramid,
@@ -223,18 +256,18 @@ class LocalMapping:
                 jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
             tracker.ms = map_ops.add_map_points(
                 tracker.ms, sl, posj, ms.kf_desc[slot][f1], normal,
-                jnp.zeros((len(slots),)), jnp.full((len(slots),), 1e9),
-                jnp.full((len(slots),), slot, jnp.int32), lvl, patches,
-                jnp.full((len(slots),), slot, jnp.int32),
-                jnp.ones((len(slots),), bool))
-            # bind in both KFs
+                jnp.zeros((N,)), jnp.full((N,), 1e9),
+                jnp.full((N,), slot, jnp.int32), lvl, patches,
+                jnp.full((N,), slot, jnp.int32), vmask)
+            # bind in both KFs (pad lanes scatter out of range = drop)
             tracker.ms = dataclasses.replace(
                 tracker.ms,
                 kf_mp_idx=tracker.ms.kf_mp_idx
-                .at[slot, f1].set(sl)
-                .at[k2, f2].set(sl))
-            free1 = free1.at[f1].set(False)
-            self.recent.extend((int(s), self.kf_count) for s in slots)
+                .at[slot, jnp.where(vmask, f1, N)].set(sl, mode="drop")
+                .at[k2, jnp.where(vmask, f2, N)].set(sl, mode="drop"))
+            free1 = free1.at[jnp.where(vmask, f1, N)].set(
+                False, mode="drop")
+            self.recent.extend((int(s), self.kf_count) for s in slots_np)
         tracker.ms = map_ops.bind_observations(tracker.ms)
 
     # ------------------------------------------------------------------
@@ -332,6 +365,26 @@ class LocalMapping:
             tracker.mp_alloc[absorb] = False
 
     # ------------------------------------------------------------------
+    def _ba_mesh_or_none(self):
+        """Resolve the device mesh for sharded local BA once. Auto mode
+        (cfg.sharded_ba=None) enables it on a real multi-accelerator
+        host; forced True builds a mesh over whatever devices exist
+        (virtual CPU meshes in tests/dryruns)."""
+        if self._ba_mesh_checked:
+            return self._ba_mesh
+        self._ba_mesh_checked = True
+        want = self.cfg.sharded_ba
+        if want is False:
+            return None
+        n = jax.device_count()
+        auto_ok = n > 1 and jax.default_backend() != "cpu"
+        if (want is None and auto_ok) or (want and n > 1):
+            if LOCAL_MP_CAP % n == 0:
+                from ygz_tpu.parallel import sharding
+                self._ba_mesh = sharding.make_mesh()
+                logger.info("local BA sharded over %d devices", n)
+        return self._ba_mesh
+
     def _local_ba(self, tracker, slot: int):
         """Windowed BA: covisible KFs free, their observers fixed
         (reference LocalBundleAdjustment, /root/reference/src/Optimizer.cc:
@@ -376,21 +429,27 @@ class LocalMapping:
         prob, obs_src = _gather_local_problem(
             ms, sel_j, kf_mask, kf_fixed, lp_j, mp_mask,
             jnp.asarray(cfg.inv_level_sigma2))
-        prob, inlier = _local_ba_jit(prob, cfg)
+        mesh = self._ba_mesh_or_none()
+        if mesh is not None:
+            from ygz_tpu.parallel import sharding
+            prob, inlier = sharding.sharded_local_ba(mesh, prob, cfg.camera)
+        else:
+            prob, inlier = _local_ba_jit(prob, cfg)
 
         # scatter back
         tracker.ms = _scatter_local_problem(tracker.ms, prob, sel_j, kf_mask,
                                             lp_j, mp_mask)
-        # unbind outlier observations
-        drop = np.asarray(prob.obs.mask & ~inlier)
-        if drop.any():
-            kf_rows = np.asarray(obs_src[0])[drop]
-            feat_cols = np.asarray(obs_src[1])[drop]
-            tracker.ms = dataclasses.replace(
-                tracker.ms,
-                kf_mp_idx=tracker.ms.kf_mp_idx.at[
-                    jnp.asarray(kf_rows), jnp.asarray(feat_cols)].set(-1))
-            tracker.ms = map_ops.bind_observations(tracker.ms)
+        # unbind outlier observations — static masked scatter (a
+        # variable-length np.where gather here recompiled the unbind
+        # program once per distinct outlier count, every local BA)
+        drop_j = prob.obs.mask & ~inlier
+        K_cap = tracker.ms.kf_mp_idx.shape[0]
+        rows = jnp.where(drop_j, obs_src[0], K_cap)
+        tracker.ms = dataclasses.replace(
+            tracker.ms,
+            kf_mp_idx=tracker.ms.kf_mp_idx.at[rows, obs_src[1]].set(
+                -1, mode="drop"))
+        tracker.ms = map_ops.bind_observations(tracker.ms)
 
 
 # ---------------------------------------------------------------------------

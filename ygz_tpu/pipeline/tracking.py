@@ -359,14 +359,26 @@ class Tracker:
         okn = np.asarray(ok)
         if okn.sum() == 0:
             return
+        # PADDED to a static lane count (see _create_initial_map): a
+        # variable take-length would recompile the insertion programs at
+        # every keyframe
+        N = min(cfg.n_features, max_new)
         order = np.argsort(np.where(okn, np.asarray(depth), np.inf))
-        take = order[:min(int(okn.sum()), max_new)]
-        slots = self.alloc_mp_slots(len(take))
-        take = take[:len(slots)]
-        if len(slots) == 0:
+        take_np = order[:min(int(okn.sum()), N)]
+        slots_np = self.alloc_mp_slots(len(take_np))
+        take_np = take_np[:len(slots_np)]
+        if len(slots_np) == 0:
             return
-        f = jnp.asarray(take)
-        sl = jnp.asarray(slots)
+        n = len(slots_np)
+        valid_np = np.zeros((N,), bool)
+        valid_np[:n] = True
+        f_pad = np.zeros((N,), np.int32)
+        f_pad[:n] = take_np
+        sl_pad = np.zeros((N,), np.int32)
+        sl_pad[:n] = slots_np
+        vmask = jnp.asarray(valid_np)
+        f = jnp.asarray(f_pad)
+        sl = jnp.asarray(sl_pad)
         from ygz_tpu.core.camera import unproject
         pc = unproject(cam, fr.uv[f], depth[f])
         T_wc = lie.se3_inverse(fr.T_cw)
@@ -375,12 +387,13 @@ class Tracker:
         patches = self._patches_at_levels(fr.pyramid, fr.uv[f], lvl)
         self.ms = map_ops.add_map_points(
             self.ms, sl, pw, fr.desc[f], _normals_from(pw, fr.T_cw),
-            jnp.zeros((len(slots),)), jnp.full((len(slots),), 1e9),
-            jnp.full((len(slots),), slot, jnp.int32), lvl, patches,
-            jnp.full((len(slots),), slot, jnp.int32),
-            jnp.ones((len(slots),), bool))
+            jnp.zeros((N,)), jnp.full((N,), 1e9),
+            jnp.full((N,), slot, jnp.int32), lvl, patches,
+            jnp.full((N,), slot, jnp.int32), vmask)
         self.ms = dataclasses.replace(
-            self.ms, kf_mp_idx=self.ms.kf_mp_idx.at[slot, f].set(sl))
+            self.ms, kf_mp_idx=self.ms.kf_mp_idx.at[
+                slot, jnp.where(vmask, f, cfg.n_features)].set(
+                sl, mode="drop"))
         if self.mapper is not None:
             # born = the kf_count AFTER this keyframe is processed
             # (on_new_keyframe increments later): depth points created at
@@ -388,7 +401,7 @@ class Tracker:
             # or the age>=2 & obs<=2 cull fires one round early — which
             # wiped the entire previous KF's points every insertion
             self.mapper.recent.extend(
-                (int(s), self.mapper.kf_count + 1) for s in slots)
+                (int(s), self.mapper.kf_count + 1) for s in slots_np)
 
     def _monocular_initialization(self, fr: frame_mod.Frame):
         cfg = self.cfg
@@ -468,20 +481,32 @@ class Tracker:
               "t": jnp.asarray(t1)}
         f0.T_cw, f1.T_cw = T0, T1
 
-        # allocate map points
-        idx_good = np.where(good)[0]
-        slots = self.alloc_mp_slots(len(idx_good))
-        n = len(slots)
-        idx_good = idx_good[:n]
+        # allocate map points — PADDED to the static feature capacity:
+        # a variable-length np.where index here used to give every init
+        # attempt its own gather/scatter shapes, recompiling ~40 device
+        # programs per attempt (minutes of warm-up on a tunneled TPU)
+        N = cfg.n_features
+        idx_good_np = np.where(good)[0][:N]
+        slots_np = self.alloc_mp_slots(len(idx_good_np))
+        n = len(slots_np)
+        idx_good_np = idx_good_np[:n]
+        valid_np = np.zeros((N,), bool)
+        valid_np[:n] = True
+        f0_pad = np.zeros((N,), np.int32)
+        f0_pad[:n] = idx_good_np
+        slots_pad = np.zeros((N,), np.int32)
+        slots_pad[:n] = slots_np
 
-        f0_feat = jnp.asarray(idx_good)
+        vmask = jnp.asarray(valid_np)
+        f0_feat = jnp.asarray(f0_pad)
         f1_feat = match_res.idx[f0_feat]
+        slots_j = jnp.asarray(slots_pad)
 
-        # bind features -> map points
-        mp_idx0 = jnp.full((cfg.n_features,), -1, jnp.int32).at[f0_feat].set(
-            jnp.asarray(slots))
-        mp_idx1 = jnp.full((cfg.n_features,), -1, jnp.int32).at[f1_feat].set(
-            jnp.asarray(slots))
+        # bind features -> map points (pad lanes scatter out of range)
+        mp_idx0 = jnp.full((N,), -1, jnp.int32).at[
+            jnp.where(vmask, f0_feat, N)].set(slots_j, mode="drop")
+        mp_idx1 = jnp.full((N,), -1, jnp.int32).at[
+            jnp.where(vmask, f1_feat, N)].set(slots_j, mode="drop")
 
         self.ms = self._insert_kf_from_frame(f0, 0, mp_idx0)
         self.ms = self._insert_kf_from_frame(f1, 1, mp_idx1)
@@ -492,19 +517,19 @@ class Tracker:
         # feature positions (the KF's stored measurements below)
         uv1_ref = uv2_refined[f0_feat]
         lvl = f1.level[f1_feat]
-        s = self.scales[lvl]
         patches = self._patches_at_levels(f1.pyramid, uv1_ref, lvl)
-        pos_w = jnp.asarray(pts[np.asarray(idx_good)])
+        pos_w = jnp.asarray(pts[f0_pad])
         self.ms = map_ops.add_map_points(
-            self.ms, jnp.asarray(slots), pos_w,
+            self.ms, slots_j, pos_w,
             f1.desc[f1_feat],
             _normals_from(pos_w, T1),
-            jnp.zeros((n,)), jnp.full((n,), 1e9),
-            jnp.full((n,), 1, jnp.int32), lvl, patches,
-            jnp.full((n,), 0, jnp.int32), jnp.ones((n,), bool))
+            jnp.zeros((N,)), jnp.full((N,), 1e9),
+            jnp.full((N,), 1, jnp.int32), lvl, patches,
+            jnp.full((N,), 0, jnp.int32), vmask)
         # f1's stored measurements are the refined match positions
         self.ms = dataclasses.replace(
-            self.ms, kf_uv=self.ms.kf_uv.at[1, f1_feat].set(uv1_ref))
+            self.ms, kf_uv=self.ms.kf_uv.at[1, jnp.where(
+                vmask, f1_feat, N)].set(uv1_ref, mode="drop"))
         self.ms = map_ops.bind_observations(self.ms)
         self.ms = map_ops.refresh_map_points(
             self.ms, jnp.ones((cfg.max_map_points,), bool),
@@ -528,8 +553,9 @@ class Tracker:
         # initializes on any pair and suffers exactly this scale warp on
         # slow starts; waiting a few frames is free.
         R1 = np.asarray(lie.quat_to_matrix(self.ms.kf_q[1]))
-        uv0_o = np.asarray(self.ms.kf_uv[0])[np.asarray(f0_feat)]
-        uv1_o = np.asarray(self.ms.kf_uv[1])[np.asarray(f1_feat)]
+        f1_np = np.asarray(match_res.idx)[idx_good_np]
+        uv0_o = np.asarray(self.ms.kf_uv[0])[idx_good_np]
+        uv1_o = np.asarray(self.ms.kf_uv[1])[f1_np]
         xn = np.concatenate(
             [(uv0_o - [cfg.camera.cx, cfg.camera.cy])
              / [cfg.camera.fx, cfg.camera.fy],
@@ -1193,33 +1219,40 @@ def _merge_direct_features(direct_uv, direct_lvl, direct_mp, direct_mask,
     if n_left == 0:
         return kp_uv, kp_level, kp_angle, kp_desc, kp_mask, mp_idx
 
-    idx = np.where(np.asarray(leftover))[0][:max_carry]
-    C = len(idx)
-    uv_d = direct_uv[jnp.asarray(idx)]
+    # PADDED to max_carry lanes: a variable carry count C recompiles the
+    # per-level orientation/descriptor programs at every keyframe (the
+    # single biggest per-KF compile source in the round-2 bench warm-up)
+    idx_np = np.where(np.asarray(leftover))[0][:max_carry]
+    C = len(idx_np)
+    idx_pad = np.zeros((max_carry,), np.int32)
+    idx_pad[:C] = idx_np
+    lane = np.arange(max_carry)
+    vmask = jnp.asarray(lane < C)
+    idx = jnp.asarray(idx_pad)
+    uv_d = direct_uv[idx]
     # describe each carried direct match at ITS OWN search level — a
     # level-0 descriptor for a point matched at a coarser level is
     # scale-mismatched and costs real matches downstream (observed: 16
     # vs 30 relocalization matches against direct-merged keyframes)
-    lvl_d = jnp.clip(direct_lvl[jnp.asarray(idx)], 0, cfg.n_levels - 1)
-    ones = jnp.ones(C, bool)
-    ang_d = jnp.zeros((C,))
-    desc_d = jnp.zeros((C, 8), jnp.uint32)
+    lvl_d = jnp.clip(direct_lvl[idx], 0, cfg.n_levels - 1)
+    ang_d = jnp.zeros((max_carry,))
+    desc_d = jnp.zeros((max_carry, 8), jnp.uint32)
     for l in range(cfg.n_levels):
-        sel = lvl_d == l
+        sel = (lvl_d == l) & vmask
         blurred = pyr_mod.gaussian_blur(pyr[l])
         uv_l = uv_d / float(cfg.scale_factors[l])
-        ang = orb.compute_orientations(blurred, uv_l, ones)
-        dsc = orb.compute_descriptors(blurred, uv_l, ang, ones)
+        ang = orb.compute_orientations(blurred, uv_l, vmask)
+        dsc = orb.compute_descriptors(blurred, uv_l, ang, vmask)
         ang_d = jnp.where(sel, ang, ang_d)
         desc_d = jnp.where(sel[:, None], dsc, desc_d)
-    # overwrite the tail (weakest) feature slots
-    tail = jnp.arange(N - C, N)
-    kp_uv = kp_uv.at[tail].set(uv_d)
-    kp_level = kp_level.at[tail].set(lvl_d)
-    kp_angle = kp_angle.at[tail].set(ang_d)
-    kp_desc = kp_desc.at[tail].set(desc_d)
-    kp_mask = kp_mask.at[tail].set(True)
-    mp_idx = mp_idx.at[tail].set(direct_mp[jnp.asarray(idx)])
+    # overwrite the C tail (weakest) feature slots; pad lanes drop
+    tgt = jnp.asarray(np.where(lane < C, N - C + lane, N))
+    kp_uv = kp_uv.at[tgt].set(uv_d, mode="drop")
+    kp_level = kp_level.at[tgt].set(lvl_d, mode="drop")
+    kp_angle = kp_angle.at[tgt].set(ang_d, mode="drop")
+    kp_desc = kp_desc.at[tgt].set(desc_d, mode="drop")
+    kp_mask = kp_mask.at[tgt].set(True, mode="drop")
+    mp_idx = mp_idx.at[tgt].set(direct_mp[idx], mode="drop")
     return kp_uv, kp_level, kp_angle, kp_desc, kp_mask, mp_idx
 
 

@@ -138,6 +138,11 @@ class VioTracker(Tracker):
     def _try_init_vio(self):
         """Reference TryInitVIO (/root/reference/src/LocalMapping.cc:189-723),
         run synchronously once enough baseline exists."""
+        # vision-only global BA FIRST (reference :212 — the [s, g, ba]
+        # least squares amplifies KF position noise, so the solve must
+        # see drift-minimized poses)
+        self.ms = self._run_global_ba(iters=10)
+        self._rebuild_direct_cache()
         order = self.kf_order
         n = len(order)
         p_c, q_wb, pres = [], [], []
