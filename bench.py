@@ -177,11 +177,15 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
     traj = synthetic.orbit_trajectory(n_frames + warm_frames, dt=0.05)
     render_jit = jax.jit(
         lambda T: synthetic_render_jittable(tex, T, cam))
-    frames = [np.asarray(render_jit(T_cw)) for _, T_cw in traj]
+    frames = [np.clip(np.asarray(render_jit(T_cw)), 0, 255).astype(np.uint8)
+              for _, T_cw in traj]
 
-    # pipelined: gate readbacks deferred one frame so device work overlaps
-    # (the honest system number — same per-frame work, throughput mode)
-    slam = System(cfg, use_loop_closing=False, pipelined=True)
+    # pipelined depth 8: gate readbacks batched 8 frames deep so device
+    # work streams and the tunnel round trip amortizes (the honest
+    # system number — same per-frame work, throughput mode; frames are
+    # fed as uint8 like a real dataset loader)
+    slam = System(cfg, use_loop_closing=False, pipelined=True,
+                  pipeline_depth=8)
     times = []
     n_ok = 0
     # wall-clock budget: a cold compilation cache on a tunneled device can

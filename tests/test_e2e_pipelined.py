@@ -20,11 +20,12 @@ import synthetic
 from test_e2e_mono import small_config
 
 
-def _run(pipelined, corrupt=(), n_frames=50):
+def _run(pipelined, corrupt=(), n_frames=50, depth=1):
     cfg = small_config()
     tex = synthetic.make_texture(0)
     traj_gt = synthetic.orbit_trajectory(n_frames)
-    sys_ = System(cfg, use_loop_closing=False, pipelined=pipelined)
+    sys_ = System(cfg, use_loop_closing=False, pipelined=pipelined,
+                  pipeline_depth=depth)
     rng = np.random.RandomState(0)
     states = []
     for i, (ts, T_cw) in enumerate(traj_gt):
@@ -113,3 +114,35 @@ class TestPipelinedFailureRecovery:
         assert len(post) >= 10, "recovery produced too few tracked frames"
         res = ate.ate_rmse(post, gt, with_scale=True, max_dt=0.05)
         assert res["rmse"] < 0.15, res
+
+
+class TestDeepPipeline:
+    """Depth-4 batched readbacks: gate decisions land 4-8 frames late —
+    by design NOT bit-identical to the sync run (same as the reference's
+    mapping-thread lag). Asserted instead: tracking holds, keyframe
+    density stays comparable, trajectory quality stays in family."""
+
+    def test_depth4_tracks_and_stays_accurate(self, sync_run):
+        _, s_sync, traj_gt, _ = sync_run
+        cfg, s_deep, _, _ = _run(pipelined=True, depth=4)
+        assert s_deep.tracker.state == tracking.OK
+        n_sync, n_deep = s_sync.tracker.n_kf, s_deep.tracker.n_kf
+        assert abs(n_deep - n_sync) <= max(2, n_sync // 2), \
+            (n_sync, n_deep)
+        gt = [(ts, np.asarray(lie.se3_matrix(lie.se3_inverse(T))))
+              for ts, T in traj_gt]
+        r_sync = ate.ate_rmse(s_sync.get_trajectory(), gt,
+                              with_scale=True, max_dt=0.05)
+        r_deep = ate.ate_rmse(s_deep.get_trajectory(), gt,
+                              with_scale=True, max_dt=0.05)
+        assert r_deep["rmse"] < max(2.5 * r_sync["rmse"], 0.1), \
+            (r_sync, r_deep)
+
+    def test_depth4_corrupt_recovery(self):
+        corrupt = {38, 39}
+        cfg, s, traj_gt, states = _run(pipelined=True, corrupt=corrupt,
+                                       n_frames=55, depth=4)
+        tr = s.tracker
+        assert tr.state == tracking.OK, "never recovered after corruption"
+        lost_ids = {r["frame_id"] for r in tr.trajectory if r.get("lost")}
+        assert lost_ids & corrupt, "corrupt frames not detected as lost"

@@ -72,8 +72,13 @@ def make_frame(img: np.ndarray, frame_id: int, timestamp: float,
     before building the pyramid (/root/reference/src/Frame.cc:773-805) —
     required for the photometric direct path, which samples raw pixels and
     so can't work with per-keypoint undistortion. Same here: one cached
-    remap grid per calibration, applied as a batched bilinear gather."""
-    g = jnp.asarray(img, dtype=jnp.float32)
+    remap grid per calibration, applied as a batched bilinear gather.
+
+    The image is uploaded in its NATIVE dtype and cast to float32 on
+    device: dataset frames are uint8, and a host-side float32 cast
+    quadruples the per-frame host->device transfer (1.4 MB vs 360 KB at
+    752x480 — a real bandwidth tax on a tunneled device)."""
+    g = jnp.asarray(img)
     if cfg.camera.has_distortion:
         g = undistort_image(g, cfg.camera)
     pyr = _build_pyramid_jit(g, cfg.n_levels, cfg.scale_factor)
@@ -82,7 +87,8 @@ def make_frame(img: np.ndarray, frame_id: int, timestamp: float,
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _build_pyramid_jit(img, n_levels, scale_factor):
-    return pyramid.build_pyramid(img, n_levels, scale_factor)
+    return pyramid.build_pyramid(img.astype(jnp.float32), n_levels,
+                                 scale_factor)
 
 
 # --- whole-image undistortion (cached remap grid per calibration) ---------
@@ -116,6 +122,7 @@ def undistort_depth(depth, cam):
 @jax.jit
 def _remap_bilinear_jit(img, grid):
     from ygz_tpu.ops.interp import bilinear_sample
+    img = img.astype(jnp.float32)
     H, W = img.shape
     val = bilinear_sample(img, grid)
     inb = (grid[..., 0] >= 0) & (grid[..., 0] <= W - 1) & \

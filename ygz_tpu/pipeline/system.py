@@ -30,13 +30,20 @@ class System:
                  vocab: Optional[vocab_mod.Vocabulary] = None,
                  sensor: int = MONOCULAR,
                  use_loop_closing: bool = True,
-                 pipelined: bool = False):
-        """pipelined=True defers tracking-gate readbacks by one frame so
-        consecutive frames overlap on device (throughput mode for offline
-        dataset runs and benchmarking; see Tracker.track_pipelined)."""
+                 pipelined: bool = False,
+                 pipeline_depth: int = 1):
+        """pipelined=True defers tracking-gate readbacks so consecutive
+        frames overlap on device (throughput mode for offline dataset
+        runs and benchmarking; see Tracker.track_pipelined).
+        pipeline_depth=D keeps D frames in flight and batches their gate
+        readbacks into one device round trip — gate decisions (keyframe
+        insertion, failure detection) land D..2D frames late, the
+        TPU-native analogue of the reference's tracking/mapping thread
+        lag."""
         self.cfg = cfg
         self.sensor = sensor
         self.pipelined = pipelined
+        self.pipeline_depth = max(1, int(pipeline_depth))
         if vocab is None:
             # a random-descriptor vocabulary still produces valid word ids;
             # retrieval quality improves once a trained one is supplied
@@ -52,6 +59,7 @@ class System:
             self.tracker = VioTracker(cfg, vocab, mapper=self.mapper)
         else:
             self.tracker = Tracker(cfg, vocab, mapper=self.mapper)
+        self.tracker.pipeline_depth = self.pipeline_depth
         self.localization_only = False
         self.loop_closer = None
         if use_loop_closing and not cfg.use_imu:
@@ -172,6 +180,7 @@ class System:
             self.tracker = VioTracker(cfg, self.vocab, mapper=self.mapper)
         else:
             self.tracker = Tracker(cfg, self.vocab, mapper=self.mapper)
+        self.tracker.pipeline_depth = self.pipeline_depth
         if self.loop_closer is not None:
             from ygz_tpu.pipeline.loopclosing import LoopClosing
             self.loop_closer = LoopClosing(cfg)

@@ -109,6 +109,12 @@ class Tracker:
         self._cand_j = None
         self._cand_valid = None
         self.scales = jnp.asarray(cfg.scale_factors)
+        # pipelined mode: frames in flight before their gate bundles are
+        # read back (depth D amortizes the device->host round trip — the
+        # dominant steady-state cost on a tunneled device — over D
+        # frames, one batched readback per D)
+        self.pipeline_depth = 1
+        self._pending: List[tuple] = []
 
     # ------------------------------------------------------------------
     def alloc_mp_slots(self, n: int) -> np.ndarray:
@@ -255,30 +261,61 @@ class Tracker:
         self.ms = dataclasses.replace(
             self.ms, mp_visible=out.mp_visible, mp_found=out.mp_found)
 
-        pending, self._pending = getattr(self, "_pending", None), (fr, out)
+        self._pending.append((fr, out))
         self.last_frame = fr
-        if pending is not None:
-            self._resolve_pending(*pending, next_fr=fr)
+        # once the pipe exceeds `depth`, resolve everything but the
+        # newest frame in ONE batched readback: the amortization is
+        # `depth` frames per round trip, while gate decisions lag only
+        # 1..depth+1 frames (draining half of a 2*depth pipe would lag
+        # depth..2*depth — measurably worse tracking on fast motion)
+        if len(self._pending) > self.pipeline_depth:
+            self._drain_pipeline(len(self._pending) - 1, next_fr=fr)
         return fr.T_cw
 
     def flush_pipeline(self):
-        """Resolve any in-flight frame (call before export/shutdown or a
+        """Resolve all in-flight frames (call before export/shutdown or a
         synchronous fallback)."""
-        pending, self._pending = getattr(self, "_pending", None), None
-        if pending is not None:
-            self._resolve_pending(*pending, next_fr=None)
+        if self._pending:
+            self._drain_pipeline(len(self._pending), next_fr=None)
 
-    def _resolve_pending(self, pfr, pout, next_fr):
+    def _drain_pipeline(self, k, next_fr):
+        """Read back the oldest k pending gate bundles in ONE device
+        round trip and commit each frame's record + late decisions in
+        order. The batched readback is the point of depth>1: the
+        per-readback latency on a tunneled device (~11 ms) otherwise
+        bounds system FPS at ~1/latency regardless of device speed."""
+        import jax as _jax
+        pending, self._pending = self._pending[:k], self._pending[k:]
+        if len(pending) == 1:
+            bundles = [np.asarray(pending[0][1].bundle)]
+        else:
+            bundles = np.asarray(
+                _jax.device_get(jnp.stack([o.bundle for _, o in pending])))
+        for i, (pfr, pout) in enumerate(pending):
+            if not self._resolve_one(pfr, bundles[i],
+                                     next_fr=next_fr, tail=pending[i + 1:]):
+                return  # failure path consumed the rest of the pipe
+
+    def _resolve_one(self, pfr, b, next_fr, tail):
+        """Commit one resolved frame. Returns False if the chain broke:
+        the remaining pending frames (which extended the invalid chain)
+        are dropped and the CURRENT frame re-tracks synchronously."""
         from ygz_tpu.pipeline import fused_track
-        b = np.asarray(pout.bundle)
         ok = bool(b[fused_track.B_OK])
         if not ok:
-            # the optimistic chain from pfr is invalid: drop pfr, and
-            # re-track the CURRENT frame synchronously from the last
-            # known-good state
-            self.trajectory.append(dict(frame_id=pfr.frame_id,
-                                        timestamp=pfr.timestamp, lost=True))
-            self._pending = None
+            # the optimistic chain from pfr on is invalid: drop pfr and
+            # every frame queued behind it (both the rest of this drain
+            # and the still-in-flight newest frames), then re-track the
+            # CURRENT frame from the last known-good state
+            dropped = [pfr] + [t[0] for t in tail] \
+                + [p[0] for p in self._pending]
+            self._pending = []
+            for tfr in dropped:
+                if next_fr is not None and tfr is next_fr:
+                    continue  # re-tracked below; records itself
+                self.trajectory.append(dict(frame_id=tfr.frame_id,
+                                            timestamp=tfr.timestamp,
+                                            lost=True))
             good = getattr(self, "_last_good", None)
             self.velocity = None
             if next_fr is not None:
@@ -295,7 +332,7 @@ class Tracker:
                 self.last_frame = next_fr
             else:
                 self.state = LOST
-            return
+            return False
         # success: commit pfr's record and late decisions
         self.last_inliers = int(b[fused_track.B_N_IN])
         self._ref_obs_cache = int(b[fused_track.B_REF_OBS])
@@ -305,6 +342,11 @@ class Tracker:
             self._rebuild_direct_cache()
         if self._need_new_keyframe(pfr):
             self._create_new_keyframe(pfr)
+            # frames queued behind pfr cached T_c_ref against the OLD
+            # reference KF — clear so _record_frame recomputes
+            for tfr, _ in tail:
+                tfr.T_c_ref = None
+        return True
 
     def _record_frame(self, fr):
         T_c_ref = fr.T_c_ref
@@ -1175,13 +1217,12 @@ class Tracker:
             self.mapper.on_new_keyframe(self, slot, fr)
         self._ref_obs_cache = None
         fr.T_c_ref = None  # ref KF changed; recompute in track()
-        # a frame already enqueued in the pipeline cached its T_c_ref
-        # against the PREVIOUS ref KF — clear it so _record_frame
+        # frames already enqueued in the pipeline cached their T_c_ref
+        # against the PREVIOUS ref KF — clear so _record_frame
         # recomputes against the new one (else one grossly wrong
         # trajectory pose per KF insertion in pipelined runs)
-        p = getattr(self, "_pending", None)
-        if p is not None:
-            p[0].T_c_ref = None
+        for pf, _ in self._pending:
+            pf.T_c_ref = None
         self.new_kf_slots.append(slot)
         self._rebuild_direct_cache()
 
