@@ -197,6 +197,10 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
         t0 = time.perf_counter()
         slam.track_monocular(img, ts)
         dt = time.perf_counter() - t0
+        if dt > 1.0 or i % 25 == 0:
+            print(f"[bench] frame {i}: {dt:.2f}s "
+                  f"(elapsed {time.perf_counter() - t_start:.0f}s)",
+                  file=sys.stderr, flush=True)
         if i >= warm_frames:
             times.append(dt)
             n_ok += int(slam.tracker.state == tracking.OK)
@@ -220,7 +224,18 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
 
 def main():
     _enable_compile_cache()
-    kernel_fps = bench_kernel()
+    # raise the main-thread stack ceiling: XLA's LLVM passes recurse
+    # deeply on the big fused programs (see tests/conftest.py)
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 << 20
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+    if os.environ.get("BENCH_SKIP_KERNEL"):
+        kernel_fps = float("nan")
+    else:
+        kernel_fps = bench_kernel()
     try:
         system_fps, tracked = bench_system()
     except Exception as e:  # pragma: no cover — keep the bench line alive

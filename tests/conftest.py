@@ -10,6 +10,21 @@ flip the platform through jax.config and clear any initialized backends.
 
 import os
 
+# Raise the main-thread stack ceiling: XLA:CPU's LLVM passes recurse
+# deeply while compiling the big joint VI programs, and under a tall
+# pytest/Python stack the default 8 MB overflows — observed as
+# deterministic SIGSEGV in backend_compile_and_load (and, when the
+# entry came from the persistent cache, in its deserializer). The main
+# thread's stack grows dynamically up to the soft rlimit, so raising it
+# here (before any deep compile) is sufficient.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 << 20
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -42,3 +57,19 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# Modules whose programs crash XLA:CPU's cache-enabled (AOT-serializable)
+# compile/load path: with the persistent cache on, compiling or
+# deserializing the big joint VI pose-opt program SIGSEGVs deep into a
+# long process (reproduced: every cache-on run crashes, every cache-off
+# run of the identical workload passes). Toggle the cache off for these
+# modules only — a per-test hook, so ordering against module fixtures is
+# deterministic (an autouse fixture raced the vio_run fixture).
+_NO_CACHE_MODULES = ("test_e2e_vio",)
+
+
+def pytest_runtest_setup(item):
+    want = None if any(m in item.nodeid for m in _NO_CACHE_MODULES) \
+        else _cache_dir
+    if jax.config.jax_compilation_cache_dir != want:
+        jax.config.update("jax_compilation_cache_dir", want)

@@ -20,6 +20,8 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
+
+
 from ygz_tpu.core import lie
 from ygz_tpu.imu import vi_init
 from ygz_tpu.pipeline.system import System

@@ -174,3 +174,44 @@ class TestViInit:
         res = vi_init.try_init_vio(p_c, q_wb, pre, mask, jnp.zeros(3))
         assert bool(res.ok)
         np.testing.assert_allclose(np.asarray(res.ba), ba, atol=0.03)
+
+
+class TestCompose:
+    def test_compose_matches_direct_integration(self):
+        """compose(A, B) must equal integrating the concatenated rows:
+        deltas, all five bias Jacobians, covariance."""
+        from ygz_tpu.imu import preintegration as pre_mod
+        rng = np.random.RandomState(3)
+        nA, nB = 37, 53
+        rows = np.concatenate(
+            [np.full((nA + nB, 1), DT, np.float32),
+             rng.randn(nA + nB, 6).astype(np.float32) * 0.3
+             + np.array([0.05, -0.02, 0.1, 0.2, -9.7, 0.3], np.float32)],
+            axis=1)
+        bg = jnp.zeros(3)
+        ba = jnp.zeros(3)
+        gn, an = 1.7e-4, 2e-3
+
+        def integ(r):
+            pad = np.zeros((64, 7), np.float32)
+            pad[:len(r)] = r
+            m = np.arange(64) < len(r)
+            return pre_mod.preintegrate(jnp.asarray(pad), jnp.asarray(m),
+                                        bg, ba, gn, an)
+
+        A = integ(rows[:nA])
+        B = integ(rows[nA:])
+        AB = pre_mod.compose(A, B)
+        pad = np.zeros((128, 7), np.float32)
+        pad[:len(rows)] = rows
+        direct = pre_mod.preintegrate(
+            jnp.asarray(pad), jnp.asarray(np.arange(128) < len(rows)),
+            bg, ba, gn, an)
+
+        for f in ("dP", "dV", "dR", "dt", "J_P_bg", "J_P_ba",
+                  "J_V_bg", "J_V_ba", "J_R_bg", "cov"):
+            va = np.asarray(getattr(AB, f))
+            vd = np.asarray(getattr(direct, f))
+            scale = max(1.0, np.abs(vd).max())
+            assert np.allclose(va, vd, atol=2e-4 * scale), \
+                (f, va, vd)

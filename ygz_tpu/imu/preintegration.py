@@ -125,3 +125,49 @@ def bias_corrected(pre: PreintState, dbg, dba):
     dV = pre.dV + pre.J_V_bg @ dbg + pre.J_V_ba @ dba
     dR = lie.quat_mul(pre.dR, lie.so3_exp(pre.J_R_bg @ dbg))
     return dP, dV, lie.quat_normalize(dR)
+
+
+def compose(a: PreintState, b: PreintState) -> PreintState:
+    """Exact composition of consecutive preintegrations (A: i->j, B:
+    j->k) into the i->k preintegration — deltas, bias Jacobians, and
+    covariance, all closed-form (standard on-manifold preintegration
+    algebra).
+
+    Used when keyframe culling merges two IMU gaps: re-integrating the
+    concatenated rows needs a bigger padded buffer (a fresh device
+    program per length bucket) and O(n) work; composition is O(1) and
+    exact, so the per-gap buffers never grow past the base pad. The
+    reference re-integrates on SetBadFlag instead
+    (/root/reference/src/LocalMapping.cc:1419-1500) because its CPU
+    loop is free to be dynamic."""
+    RA = lie.quat_to_matrix(a.dR)
+    RBT = lie.quat_to_matrix(b.dR).T
+    dtB = b.dt
+    hPB = lie.hat(b.dP)
+    hVB = lie.hat(b.dV)
+
+    dP = a.dP + a.dV * dtB + RA @ b.dP
+    dV = a.dV + RA @ b.dV
+    dR = lie.quat_normalize(lie.quat_mul(a.dR, b.dR))
+
+    J_R_bg = RBT @ a.J_R_bg + b.J_R_bg
+    J_V_bg = a.J_V_bg - RA @ hVB @ a.J_R_bg + RA @ b.J_V_bg
+    J_V_ba = a.J_V_ba + RA @ b.J_V_ba
+    J_P_bg = a.J_P_bg + a.J_V_bg * dtB - RA @ hPB @ a.J_R_bg \
+        + RA @ b.J_P_bg
+    J_P_ba = a.J_P_ba + a.J_V_ba * dtB + RA @ b.J_P_ba
+
+    I3 = jnp.eye(3)
+    Z3 = jnp.zeros((3, 3))
+    F = jnp.block([[I3, I3 * dtB, -RA @ hPB],
+                   [Z3, I3, -RA @ hVB],
+                   [Z3, Z3, RBT]])
+    G = jnp.block([[RA, Z3, Z3],
+                   [Z3, RA, Z3],
+                   [Z3, Z3, I3]])
+    cov = F @ a.cov @ F.T + G @ b.cov @ G.T
+
+    return PreintState(dP=dP, dV=dV, dR=dR, dt=a.dt + dtB,
+                       J_P_bg=J_P_bg, J_P_ba=J_P_ba,
+                       J_V_bg=J_V_bg, J_V_ba=J_V_ba, J_R_bg=J_R_bg,
+                       cov=cov)

@@ -105,9 +105,15 @@ class VioTracker(Tracker):
                 parts = [r for r in (self.kf_imu_rows.get(k),
                                      self.kf_imu_rows.get(succ))
                          if r is not None and len(r)]
-                merged = np.concatenate(parts) if parts else None
-                self.kf_imu_rows[succ] = merged
-                self.kf_pre[succ] = self._preintegrate_rows(merged)
+                self.kf_imu_rows[succ] = (np.concatenate(parts)
+                                          if parts else None)
+                pa, pb = self.kf_pre.get(k), self.kf_pre.get(succ)
+                if pa is not None and pb is not None:
+                    # exact O(1) composition — no re-integration, no
+                    # bigger padded buffer (no fresh device program)
+                    self.kf_pre[succ] = pre_mod.compose(pa, pb)
+                elif pb is None:
+                    self.kf_pre[succ] = pa
             self.kf_order.remove(k)
         self.kf_ns.pop(k, None)
         self.kf_pre.pop(k, None)
