@@ -28,13 +28,19 @@ if _soft != resource.RLIM_INFINITY and _soft < _want:
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_max_isa" not in flags:
-    # pin codegen to AVX2: the persistent compile cache is COMMITTED and
-    # shared across machines — an entry compiled with host-specific ISA
-    # (AVX-512/AMX + prefer-no-gather) segfaults when deserialized on a
-    # host without those features (observed: SIGSEGV in
-    # compilation_cache.get_executable_and_time)
-    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+# NOTE: do NOT pin --xla_cpu_max_isa here. An AVX2 pin was tried to make
+# cache entries portable across machines; on the giant fused/VI programs
+# the 8-wide codegen blows LLVM's JIT memory ("LLVM compilation error:
+# Cannot allocate memory", later SIGSEGV). The compile cache is
+# machine-local (gitignored) instead, so portability is moot.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # XLA:CPU JIT-compiles each program as N parallel LLVM splits
+    # (default 32), each registering eh-frame tables concurrently;
+    # glibc's unwinder walking those tables mid-registration is the
+    # prime suspect for the libgcc_s segfaults observed deep into long
+    # runs (see the lore note below). One split serializes registration
+    # — and costs nothing on this 1-CPU host.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -58,18 +64,16 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-# Modules whose programs crash XLA:CPU's cache-enabled (AOT-serializable)
-# compile/load path: with the persistent cache on, compiling or
-# deserializing the big joint VI pose-opt program SIGSEGVs deep into a
-# long process (reproduced: every cache-on run crashes, every cache-off
-# run of the identical workload passes). Toggle the cache off for these
-# modules only — a per-test hook, so ordering against module fixtures is
-# deterministic (an autouse fixture raced the vio_run fixture).
-_NO_CACHE_MODULES = ("test_e2e_vio",)
+# XLA:CPU segfault lore (do not re-litigate without new evidence): long
+# e2e processes can SIGSEGV *while compiling* a later program — the
+# kernel log places the fault inside libgcc_s's unwinder, i.e. C++
+# exception unwinding tripping over the cumulative JIT frame-table
+# state after hundreds of compiled programs. It is NOT the persistent
+# cache: JAX compiles through the identical backend_compile_and_load
+# call with or without a cache dir (compiler.py:430-485), and the same
+# program compiles fine in a fresh process. Mitigations that work:
+# (a) keep programs small (edge-local AD in vi_ba.py — the wide-jacfwd
+# joint VI programs were the trigger), and (b) keep the warm cache ON:
+# cache hits skip JIT entirely, and a crashed run still persists what
+# it compiled, so reruns converge past the crash point.
 
-
-def pytest_runtest_setup(item):
-    want = None if any(m in item.nodeid for m in _NO_CACHE_MODULES) \
-        else _cache_dir
-    if jax.config.jax_compilation_cache_dir != want:
-        jax.config.update("jax_compilation_cache_dir", want)

@@ -85,6 +85,10 @@ def _jacobi_solve(H, b, damping=1e-4):
     return y / d
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "rounds", "iters",
+                     "marginalize", "bias_walk", "return_last"))
 def pose_optimization_vi(ns0: ns_mod.NavState, ns_ref: ns_mod.NavState,
                          pre: PreintState, gw, Tbc,
                          pts_w, uv, inv_sigma2, mask,
@@ -130,45 +134,61 @@ def pose_optimization_vi(ns0: ns_mod.NavState, ns_ref: ns_mod.NavState,
 
     def joint_system(ns_l, ns_c, w_vis, w_prior):
         """Build the 30x30 GN system at (ns_l, ns_c) with given vision
-        weights; returns (H, b)."""
+        weights; returns (H, b).
+
+        AD width is kept minimal per edge — vision touches only the
+        CURRENT state (15 tangents, not 30), the prior only the LAST,
+        and the bias-walk Jacobian is a constant +/-selection written
+        analytically. Differentiating every edge over the full 30-dof
+        joint tangent compiled to an XLA:CPU program so large that LLVM
+        took >15 min (and intermittently segfaulted) on the test hosts;
+        edge-local AD plus explicit block assembly is the same math at
+        less than half the graph size."""
         zero = jnp.zeros(30)
 
         def r_imu_fn(dx):
             l, c = states(ns_l, ns_c, dx)
             return ns_mod.imu_residual_biased(l, c, pre, gw, bg_hat, ba_hat)
 
-        def r_vis_fn(dx):
-            _, c = states(ns_l, ns_c, dx)
+        def r_vis_c(dc):
+            c = ns_mod.retract(ns_c, dc)
             rv, _ = _vision_residuals(c, Tbc, pts_w, uv, fx, fy, cx, cy)
             return rv
 
         r_imu = r_imu_fn(zero)
         J_imu = jax.jacfwd(r_imu_fn)(zero)               # [9, 30]
-        rv = r_vis_fn(zero)
-        Jv = jax.jacfwd(r_vis_fn)(zero)                  # [N, 2, 30]
+        rv = r_vis_c(jnp.zeros(15))
+        Jv = jax.jacfwd(r_vis_c)(jnp.zeros(15))          # [N, 2, 15]
 
         H = J_imu.T @ info_imu @ J_imu
         b = -J_imu.T @ info_imu @ r_imu
-        H = H + jnp.einsum("nad,nae,n->de", Jv, Jv, w_vis)
-        b = b - jnp.einsum("nad,na,n->d", Jv, rv, w_vis)
+        H_cc = jnp.einsum("nad,nae,n->de", Jv, Jv, w_vis)
+        b_c = -jnp.einsum("nad,na,n->d", Jv, rv, w_vis)
+        H = H.at[15:, 15:].add(H_cc)
+        b = b.at[15:].add(b_c)
         if joint:
             # prior on the LAST state, anchored at its marginal estimate
-            def r_pr_fn(dx):
-                l, _ = states(ns_l, ns_c, dx)
-                return _prior_residual(l, prior_ns)
-            r_pr = r_pr_fn(jnp.zeros(30))
-            J_pr = jax.jacfwd(r_pr_fn)(jnp.zeros(30))    # [15, 30]
+            def r_pr_l(dl):
+                return _prior_residual(ns_mod.retract(ns_l, dl), prior_ns)
+            r_pr = r_pr_l(jnp.zeros(15))
+            J_pr = jax.jacfwd(r_pr_l)(jnp.zeros(15))     # [15, 15]
             Hp = prior_H * w_prior
-            H = H + J_pr.T @ Hp @ J_pr
-            b = b - J_pr.T @ Hp @ r_pr
+            H = H.at[:15, :15].add(J_pr.T @ Hp @ J_pr)
+            b = b.at[:15].add(-(J_pr.T @ Hp @ r_pr))
             if info_bw is not None:
-                def r_bw_fn(dx):
-                    l, c = states(ns_l, ns_c, dx)
-                    return jnp.concatenate([c.bg - l.bg, c.ba - l.ba])
-                r_bw = r_bw_fn(jnp.zeros(30))
-                J_bw = jax.jacfwd(r_bw_fn)(jnp.zeros(30))
-                H = H + J_bw.T @ info_bw @ J_bw
-                b = b - J_bw.T @ info_bw @ r_bw
+                # r_bw = [c.bg - l.bg; c.ba - l.ba]: J wrt the (dbg, dba)
+                # tangent slots (indices 9:15 of each state) is exactly
+                # -I6 (last) / +I6 (current) under the additive bias
+                # retraction — no AD needed
+                r_bw = jnp.concatenate([ns_c.bg - ns_l.bg,
+                                        ns_c.ba - ns_l.ba])
+                Hbw = info_bw                             # [6, 6]
+                H = H.at[9:15, 9:15].add(Hbw)
+                H = H.at[24:30, 24:30].add(Hbw)
+                H = H.at[9:15, 24:30].add(-Hbw)
+                H = H.at[24:30, 9:15].add(-Hbw)
+                b = b.at[9:15].add(Hbw @ r_bw)
+                b = b.at[24:30].add(-(Hbw @ r_bw))
         else:
             # last state fixed: freeze its block
             fvec = jnp.concatenate([jnp.zeros(15, bool), jnp.ones(15, bool)])
@@ -275,6 +295,9 @@ class ViWindowPoints(NamedTuple):
     obs_pt_id: jnp.ndarray
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "iters", "bias_walk"))
 def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
                       iters: int = 8,
                       points: Optional[ViWindowPoints] = None,
@@ -300,42 +323,62 @@ def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
     def point_positions(state):
         return state[1] if use_pts else prob.obs_pt
 
+    eyeW = jnp.eye(W)
+    # bias-walk Jacobian is CONSTANT: r_bw[s] = [bias(s+1) - bias(s)],
+    # i.e. -I6 on segment-start tangent slots 9:15 and +I6 on the
+    # segment-end slots — assembled once, no AD (see joint_system's
+    # rationale: full-width jacfwd of every edge made the XLA:CPU
+    # program pathologically large)
+    S6 = jnp.zeros((6, 15)).at[:, 9:15].set(jnp.eye(6))
+    J_bw_const = ((-S6)[None, :, None, :] * eyeW[:-1][:, None, :, None]
+                  + S6[None, :, None, :] * eyeW[1:][:, None, :, None]
+                  ).reshape(W - 1, 6, D)
+
     def gn(i, state):
         ns = state[0] if use_pts else state
         pos_tab = state[1] if use_pts else None
         pts_obs = pos_tab[points.obs_pt_id] if use_pts else prob.obs_pt
-        zero = jnp.zeros((W, 15))
 
-        def imu_res_all(dx):
-            nsx = jax.vmap(ns_mod.retract)(ns, dx)
-            def seg(k):
-                ns_i = jax.tree.map(lambda a: a[k], nsx)
-                ns_j = jax.tree.map(lambda a: a[k + 1], nsx)
-                pre_k = jax.tree.map(lambda a: a[k], prob.pre)
-                return ns_mod.imu_residual_biased(
-                    ns_i, ns_j, pre_k, gw, prob.bg_hat, prob.ba_hat)
-            return jax.vmap(seg)(jnp.arange(W - 1))      # [W-1, 9]
+        # IMU edges: per-segment AD over the 30-dof (i, j) pair tangent
+        # only — each segment touches exactly two states, so the dense
+        # [W-1, 9, W*15] Jacobian is two 15-wide blocks per row
+        ns_i = jax.tree.map(lambda a: a[:-1], ns)
+        ns_j = jax.tree.map(lambda a: a[1:], ns)
 
-        def bias_res_all(dx):
-            nsx = jax.vmap(ns_mod.retract)(ns, dx)
-            return jnp.concatenate(
-                [nsx.bg[1:] - nsx.bg[:-1], nsx.ba[1:] - nsx.ba[:-1]], -1)
+        def seg_res(d2, n_i, n_j, pre_k):
+            ni = ns_mod.retract(n_i, d2[:15])
+            nj = ns_mod.retract(n_j, d2[15:])
+            return ns_mod.imu_residual_biased(ni, nj, pre_k, gw,
+                                              prob.bg_hat, prob.ba_hat)
 
-        def vis_res_all(dx):
-            nsx = jax.vmap(ns_mod.retract)(ns, dx)
-            ns_o = jax.tree.map(lambda a: a[prob.obs_kf], nsx)
-            T_cw = jax.vmap(lambda n: ns_mod.navstate_to_tcw(n, Tbc))(ns_o)
-            pc = lie.quat_rotate(T_cw["q"], pts_obs) + T_cw["t"]
-            z = jnp.maximum(pc[..., 2], 1e-3)
-            u = fx * pc[..., 0] / z + cx
-            v = fy * pc[..., 1] / z + cy
-            return jnp.stack([u - prob.obs_uv[..., 0],
-                              v - prob.obs_uv[..., 1]], -1)
+        zero30 = jnp.zeros((W - 1, 30))
+        r_imu = jax.vmap(seg_res)(zero30, ns_i, ns_j, prob.pre)  # [W-1, 9]
+        J_seg = jax.vmap(jax.jacfwd(seg_res))(
+            zero30, ns_i, ns_j, prob.pre)                # [W-1, 9, 30]
+        Ji = (J_seg[:, :, None, :15] * eyeW[:-1][:, None, :, None]
+              + J_seg[:, :, None, 15:] * eyeW[1:][:, None, :, None]
+              ).reshape(W - 1, 9, D)
 
-        r_imu = imu_res_all(zero)                        # [W-1, 9]
-        J_imu = jax.jacfwd(imu_res_all)(zero)            # [W-1, 9, W, 15]
-        rv = vis_res_all(zero)                           # [O, 2]
-        Jv = jax.jacfwd(vis_res_all)(zero)               # [O, 2, W, 15]
+        # vision edges: per-observation AD over the OBSERVING state's
+        # 15-dof tangent; scattered into the dense [O, 2, D] layout the
+        # accumulation einsums expect (vision never couples two KFs)
+        ns_o = jax.tree.map(lambda a: a[prob.obs_kf], ns)
+
+        def obs_res(dc, n_o, pt, uvo):
+            nx = ns_mod.retract(n_o, dc)
+            T_cw = ns_mod.navstate_to_tcw(nx, Tbc)
+            pc = lie.quat_rotate(T_cw["q"], pt) + T_cw["t"]
+            z = jnp.maximum(pc[2], 1e-3)
+            return jnp.stack([fx * pc[0] / z + cx - uvo[0],
+                              fy * pc[1] / z + cy - uvo[1]])
+
+        zero15 = jnp.zeros((prob.obs_kf.shape[0], 15))
+        rv = jax.vmap(obs_res)(zero15, ns_o, pts_obs, prob.obs_uv)  # [O, 2]
+        J_po = jax.vmap(jax.jacfwd(obs_res))(
+            zero15, ns_o, pts_obs, prob.obs_uv)          # [O, 2, 15]
+        onehot = eyeW[prob.obs_kf]                       # [O, W]
+        Jvf = (J_po[:, :, None, :] * onehot[:, None, :, None]
+               ).reshape(-1, 2, D)
 
         info = jax.vmap(_imu_info)(prob.pre)             # [W-1, 9, 9]
         wseg = prob.pre_mask.astype(r_imu.dtype)
@@ -344,15 +387,14 @@ def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
                           CHI2_2DOF ** 0.5)
         wv = jnp.where(prob.obs_mask, prob.obs_inv_sigma2 * rw, 0.0)
 
-        Ji = J_imu.reshape(W - 1, 9, D)
-        Jvf = Jv.reshape(-1, 2, D)
         H = jnp.einsum("sad,sab,sbe,s->de", Ji, info, Ji, wseg)
         b = -jnp.einsum("sad,sab,sb,s->d", Ji, info, r_imu, wseg)
         H = H + jnp.einsum("oad,oae,o->de", Jvf, Jvf, wv)
         b = b - jnp.einsum("oad,oa,o->d", Jvf, rv, wv)
         if info_bw is not None:
-            r_bw = bias_res_all(zero)                    # [W-1, 6]
-            J_bw = jax.jacfwd(bias_res_all)(zero).reshape(W - 1, 6, D)
+            r_bw = jnp.concatenate(
+                [ns.bg[1:] - ns.bg[:-1], ns.ba[1:] - ns.ba[:-1]], -1)
+            J_bw = J_bw_const
             H = H + jnp.einsum("sad,sab,sbe,s->de", J_bw, info_bw, J_bw,
                                wseg)
             b = b - jnp.einsum("sad,sab,sb,s->d", J_bw, info_bw, r_bw, wseg)

@@ -27,6 +27,23 @@ from ygz_tpu.core import lie
 from ygz_tpu.imu.preintegration import PreintState
 
 
+def _lstsq64(A, B):
+    """Host float64 least squares for the tiny init systems.
+
+    The [s, dthetaxy, ba] system is ill-conditioned at gentle excitation
+    (gravity-direction and accel-bias columns are nearly collinear);
+    float32 QR rounding (~1e-7 relative) blows up along the near-null
+    direction into O(1) bias/direction errors EVEN ON EXACT DATA
+    (observed: ba ~ 4.7 m/s^2, gravity 28 deg off, with ground-truth
+    poses). The systems are [3T, 4..6] — a host f64 solve is free; the
+    reference runs g2o/Eigen in double throughout for the same reason
+    (SURVEY 'float64 islands')."""
+    import numpy as _np
+    x, *_ = _np.linalg.lstsq(_np.asarray(A, _np.float64),
+                             _np.asarray(B, _np.float64), rcond=None)
+    return jnp.asarray(x.astype(_np.float32))
+
+
 class ViInitResult(NamedTuple):
     bg: jnp.ndarray        # [3]
     ba: jnp.ndarray        # [3]
@@ -74,16 +91,20 @@ def estimate_scale_gravity(p_c, q_wb, pre: PreintState, triple_mask, pbc):
     p_c: [K, 3] CAMERA centers from vision (unscaled); q_wb: [K, 4] body
     rotations; pre: [K-1] preintegrations; pbc: [3] camera position in
     body frame (from Tbc). Solves A [s, gw] = B stacked over triples
-    (reference /root/reference/src/LocalMapping.cc:266-319).
+    (reference /root/reference/src/LocalMapping.cc:266-319), unweighted
+    like the reference: a per-triple IMU-covariance whitening was tried
+    and REGRESSED the e2e — with real tracked poses the row error is
+    vision-dominated, so IMU whitening mis-weights short-gap rows.
     """
     lam, k, B0, _ = _triple_terms(p_c, q_wb, pre, pbc)
     beta = k[:, None, None] * jnp.broadcast_to(jnp.eye(3),
                                                (lam.shape[0], 3, 3))
     A = jnp.concatenate([lam[..., None], beta], axis=-1)  # [T, 3, 4]
+    B = B0
     w = triple_mask.astype(A.dtype)
     Af = (A * w[:, None, None]).reshape(-1, 4)
-    Bf = (B0 * w[:, None]).reshape(-1)
-    x, *_ = jnp.linalg.lstsq(Af, Bf)
+    Bf = (B * w[:, None]).reshape(-1)
+    x = _lstsq64(Af, Bf)
     return x[0], x[1:4]  # s, gw
 
 
@@ -149,7 +170,7 @@ def refine_with_gravity_norm(p_c, q_wb, pre: PreintState, triple_mask,
     w = triple_mask.astype(C.dtype)
     Cf = (C * w[:, None, None]).reshape(-1, 6)
     Df = (D * w[:, None]).reshape(-1)
-    x, *_ = jnp.linalg.lstsq(Cf, Df)
+    x = _lstsq64(Cf, Df)
     s = x[0]
     dtheta = jnp.concatenate([x[1:3], jnp.zeros(1)])
     ba = x[3:6]

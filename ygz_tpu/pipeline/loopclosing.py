@@ -39,6 +39,14 @@ class LoopClosing:
         self.group_grace = 0   # rounds an empty detection keeps groups alive
         self.last_loop_kf: int = -1000
         self.n_loops = 0
+        # diagnostics of the last ACCEPTED loop (tests + tooling):
+        # the corrective Sim3 scale (s != 1 on monocular drift), the
+        # (current, loop) KF slots, and a pre-correction KF-pose
+        # snapshot so accuracy-improvement can be asserted without
+        # re-running the whole sequence loop-less
+        self.last_sim3_scale: float = 1.0
+        self.last_loop_pair = (-1, -1)
+        self.last_precorrection = None  # dict of numpy kf_q/kf_t/mask/ts
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, tracker, slot: int):
@@ -54,6 +62,14 @@ class LoopClosing:
                 tracker, slot, cand)
             if not ok:
                 continue
+            # corrective scale relative to the KF's current (drifted)
+            # pose: s of S_cw ∘ T_cur^-1 — the factor CorrectLoop is
+            # about to apply (1.0 for a drift-free or metric loop)
+            T_cur = {"q": tracker.ms.kf_q[slot], "t": tracker.ms.kf_t[slot]}
+            S_rel = lie.sim3_compose(
+                S_cw, lie.sim3_inverse(lie.sim3_from_se3(T_cur)))
+            self.last_sim3_scale = float(S_rel["s"])
+            self.last_loop_pair = (slot, cand)
             self._correct_loop(tracker, slot, cand, S_cw, loop_ids, matched)
             self.last_loop_kf = slot
             self.n_loops += 1
@@ -276,6 +292,10 @@ class LoopClosing:
         # pre-fusion covisibility for its edge topology
         S_before = lie.sim3_from_se3({"q": ms.kf_q, "t": ms.kf_t})
         W_pre = np.asarray(mapstate.covisibility_matrix(ms))
+        self.last_precorrection = {
+            "kf_q": np.asarray(ms.kf_q), "kf_t": np.asarray(ms.kf_t),
+            "kf_mask": np.asarray(ms.kf_mask),
+            "kf_timestamp": np.asarray(ms.kf_timestamp)}
 
         T_cur = {"q": ms.kf_q[slot], "t": ms.kf_t[slot]}
 

@@ -79,6 +79,14 @@ class LocalMapping:
         successor, the reference's SetBadFlag + ComputePreInt path)."""
         ms = tracker.ms
         use_imu = self.cfg.use_imu
+        if use_imu and not getattr(tracker, "vins_inited", False):
+            # before VI init the preintegration chain is the init's
+            # input: the reference effectively starves culling here (its
+            # TryInitVIO thread holds FlagCopyInitKFs every few ms until
+            # initialization, and KeyFrameCulling bails when it is set,
+            # /root/reference/src/LocalMapping.cc:224-228, 1425-1427);
+            # culling resumes with the VIO guards once inited
+            return
         if use_imu:
             cur_ts = float(np.asarray(ms.kf_timestamp)[slot])
             order = list(getattr(tracker, "kf_order", []))

@@ -67,6 +67,70 @@ class VioTracker(Tracker):
         self.last_ns: Optional[ns_mod.NavState] = None
         self.prior_H = None
         self.first_frame_time: Optional[float] = None
+        if jax.default_backend() == "cpu":
+            self._warm_vi_programs()
+
+    # ------------------------------------------------------------------
+    def _warm_vi_programs(self):
+        """Compile the post-init per-frame/per-KF VI programs NOW, while
+        the process's JIT state is young.
+
+        XLA:CPU's JIT intermittently segfaults in libgcc's unwinder when
+        a big program is first compiled or cache-loaded deep into a
+        long-running process (hundreds of registered JIT frame tables;
+        see tests/conftest.py lore). In a VIO run those programs
+        naturally first load only after VI initialization — minutes and
+        hundreds of programs in — exactly the window where the crash
+        reproduces. Warming them at construction costs one compile
+        (cached across runs) and makes every later call an in-memory
+        executable-cache hit. CPU-only: XLA:TPU does not use the LLVM
+        JIT."""
+        cfg = self.cfg
+        N = cfg.n_features
+        pre_f = self._preintegrate_rows(None)
+        ns = ns_mod.NavState(P=jnp.zeros(3), V=jnp.zeros(3),
+                             q=lie.quat_identity(), bg=jnp.zeros(3),
+                             ba=jnp.zeros(3))
+        pts = jnp.concatenate([jnp.zeros((N, 2)), jnp.ones((N, 1))], -1)
+        uv = jnp.zeros((N, 2))
+        ones = jnp.ones((N,))
+        mask = jnp.zeros((N,), bool)
+        cam = cfg.camera
+        bw = (cfg.gyro_bias_walk, cfg.acc_bias_walk)
+        for pH in (None, jnp.eye(15)):
+            out = vi_ba.pose_optimization_vi(
+                ns, ns, pre_f, self.gw, self.Tbc, pts, uv, ones, mask,
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                prior_H=pH, prior_ns=None if pH is None else ns,
+                bias_hat=(self.bg, self.ba), bias_walk=bw)
+            jax.block_until_ready(out[0].P)
+        # the (now fixed-capacity) window BA program
+        total = cfg.local_window_size + self.MAX_FIXED_RING
+        P = self.WINDOW_MP_CAP
+        O = total * N
+        ns_w = jax.tree.map(lambda a: jnp.broadcast_to(a, (total,)
+                                                       + a.shape), ns)
+        pre_w = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (total - 1,) + a.shape), pre_f)
+        prob = vi_ba.ViWindowProblem(
+            ns=ns_w, pre=pre_w,
+            pre_mask=jnp.zeros((total - 1,), bool),
+            kf_mask=jnp.ones((total,), bool),
+            kf_fixed=jnp.zeros((total,), bool).at[0].set(True),
+            obs_kf=jnp.zeros((O,), jnp.int32),
+            obs_pt=jnp.zeros((O, 3)),
+            obs_uv=jnp.zeros((O, 2)),
+            obs_inv_sigma2=jnp.ones((O,)),
+            obs_mask=jnp.zeros((O,), bool),
+            bg_hat=jnp.zeros(3), ba_hat=jnp.zeros(3))
+        pts_w = vi_ba.ViWindowPoints(
+            pos=jnp.concatenate([jnp.zeros((P, 2)), jnp.ones((P, 1))], -1),
+            mask=jnp.zeros((P,), bool),
+            obs_pt_id=jnp.zeros((O,), jnp.int32))
+        out_ns, _ = vi_ba.local_ba_navstate(
+            prob, self.gw, self.Tbc, cam.fx, cam.fy, cam.cx, cam.cy,
+            iters=5, points=pts_w, bias_walk=bw)
+        jax.block_until_ready(out_ns.P)
 
     # ------------------------------------------------------------------
     def track(self, fr: frame_mod.Frame):
@@ -141,6 +205,49 @@ class VioTracker(Tracker):
             self._try_init_vio()
 
     # ------------------------------------------------------------------
+    VI_INIT_STRIDE_S = 0.5   # min temporal spacing of init-solve nodes
+
+    def _init_chain_nodes(self):
+        """Subsample the KF chain for the [s, gw, ba] solve, composing the
+        skipped preintegrations exactly (O(1) per merge).
+
+        The [s, g] triples regress on position double-differences
+        lam = (a2-a1)*dt23 - (a3-a2)*dt12: signal grows ~dt^2 while the
+        vision position noise per KF is constant, so at the dense
+        pre-init keyframe cadence (~3/s) the regressor is noise-dominated
+        and the least squares attenuates s toward zero
+        (errors-in-variables). The reference solves over its natural
+        policy-spaced KFs (/root/reference/src/LocalMapping.cc:237-319),
+        typically >= 0.5 s apart — subsampling recovers that geometry
+        without giving up the dense pre-init cadence tracking wants.
+
+        Returns the node slots (always including the first and spanning
+        to near the last KF) and leaves the composed per-gap
+        preintegrations in self._init_chain_pres; None if the chain is
+        unusable."""
+        order = self.kf_order
+        if len(order) < 3 or any(self.kf_pre.get(k) is None
+                                 for k in order[1:]):
+            return None
+        nodes = [order[0]]
+        pres = []
+        acc = None
+        for k in order[1:]:
+            p = self.kf_pre[k]
+            acc = p if acc is None else pre_mod.compose(acc, p)
+            if float(acc.dt) >= self.VI_INIT_STRIDE_S:
+                nodes.append(k)
+                pres.append(acc)
+                acc = None
+        if len(nodes) < 3:
+            # gaps never reach the stride (short window / high fps):
+            # fall back to the raw chain
+            nodes = list(order)
+            pres = [self.kf_pre[k] for k in order[1:]]
+        self._init_chain_pres = pres
+        return nodes
+
+    # ------------------------------------------------------------------
     def _try_init_vio(self):
         """Reference TryInitVIO (/root/reference/src/LocalMapping.cc:189-723),
         run synchronously once enough baseline exists."""
@@ -149,19 +256,18 @@ class VioTracker(Tracker):
         # see drift-minimized poses)
         self.ms = self._run_global_ba(iters=10)
         self._rebuild_direct_cache()
-        order = self.kf_order
+        order = self._init_chain_nodes()
+        if order is None:
+            return
         n = len(order)
-        p_c, q_wb, pres = [], [], []
-        for i, k in enumerate(order):
+        p_c, q_wb = [], []
+        for k in order:
             T_cw = {"q": self.ms.kf_q[k], "t": self.ms.kf_t[k]}
             T_wc = lie.se3_inverse(T_cw)
             p_c.append(T_wc["t"])
             T_wb = lie.se3_compose(T_wc, lie.se3_inverse(self.Tbc))
             q_wb.append(T_wb["q"])
-            if i > 0:
-                pres.append(self.kf_pre[k])
-        if any(p is None for p in pres):
-            return
+        pres = self._init_chain_pres
         p_c = jnp.stack(p_c)
         q_wb = jnp.stack(q_wb)
         pre = jax.tree.map(lambda *x: jnp.stack(x), *pres)
@@ -185,7 +291,9 @@ class VioTracker(Tracker):
         self.bg = res.bg
         self.ba = res.ba
         self.gw = res.gw
-        # set NavStates: velocities from scaled position differences
+        # set NavStates for the FULL chain (solve nodes were subsampled):
+        # velocities from scaled position differences
+        order = self.kf_order
         for i, k in enumerate(order):
             T_cw = {"q": self.ms.kf_q[k], "t": self.ms.kf_t[k]}
             self.kf_ns[k] = ns_mod.tcw_to_navstate(
@@ -249,12 +357,21 @@ class VioTracker(Tracker):
         fixed = [int(k) for k in np.where(obs_kfs)[0]
                  if k not in order][:self.MAX_FIXED_RING]
         sel = list(order) + fixed
-        total = len(sel)
+        n_sel = len(sel)
+        # ONE window-BA program for the whole run: pad the KF axis to the
+        # fixed capacity (window + ring) with masked repeats of the last
+        # selected KF. A per-(n, ring) program shape meant ~2(W+R) big
+        # JIT loads spread through the run — both a compile-cost problem
+        # and exposure to the late-process XLA:CPU JIT segfault
+        # (tests/conftest.py lore); static capacity is also simply the
+        # right XLA shape discipline.
+        total = W + self.MAX_FIXED_RING
+        sel = sel + [sel[-1]] * (total - n_sel)
 
         ns = jax.tree.map(lambda *x: jnp.stack(x),
                           *[self._kf_navstate(k) for k in sel])
         # preintegration segments only span the free temporal chain;
-        # pad the tail (fixed ring) with masked copies of the last segment
+        # pad the tail (fixed ring + capacity pad) with masked copies
         pres = pres + [pres[-1]] * (total - n)
         pre = jax.tree.map(lambda *x: jnp.stack(x), *pres)
         pre_mask = jnp.asarray(
@@ -266,6 +383,8 @@ class VioTracker(Tracker):
             lid = g2l[np.where(mp >= 0, mp, 0)]
             valid = np.asarray(self.ms.kf_feat_mask[k]) & (mp >= 0) \
                 & (lid >= 0)
+            if i >= n_sel:
+                valid = np.zeros_like(valid)
             obs_kf.append(np.full((mp.shape[0],), i, np.int32))
             obs_pid.append(np.where(valid, lid, 0).astype(np.int32))
             obs_uv.append(self.ms.kf_uv[k])
@@ -284,7 +403,7 @@ class VioTracker(Tracker):
         prob = vi_ba.ViWindowProblem(
             ns=ns, pre=pre,
             pre_mask=pre_mask,
-            kf_mask=jnp.ones(total, bool),
+            kf_mask=jnp.asarray(np.arange(total) < n_sel),
             kf_fixed=jnp.asarray(
                 np.array([False] * n + [True] * (total - n))
             ).at[0].set(True),
@@ -308,9 +427,12 @@ class VioTracker(Tracker):
                 self.ms,
                 kf_q=self.ms.kf_q.at[k].set(T_cw["q"]),
                 kf_t=self.ms.kf_t.at[k].set(T_cw["t"]))
+        # fixed-shape writeback: pads scatter out-of-bounds and drop
+        idx_pad = np.full((pt_pad,), self.cfg.max_map_points, np.int64)
+        idx_pad[:len(local_ids)] = local_ids
         self.ms = dataclasses.replace(
-            self.ms, mp_pos=self.ms.mp_pos.at[jnp.asarray(local_ids)].set(
-                out_pos[:len(local_ids)]))
+            self.ms, mp_pos=self.ms.mp_pos.at[jnp.asarray(idx_pad)].set(
+                out_pos, mode="drop"))
         self.last_ns = self.kf_ns[order[-1]]
 
     # ------------------------------------------------------------------
