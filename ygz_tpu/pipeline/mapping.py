@@ -361,11 +361,21 @@ class LocalMapping:
                     else (cur, mp_new)
                 merges.append((a, b))   # a absorbs b
         if bind_f:
+            # static-shape scatter: pad the bind list to the feature
+            # capacity (pad lanes target row N = out of range, dropped) —
+            # a bare jnp.asarray(bind_f) scatter compiles one program per
+            # distinct bind COUNT, a fresh device compile on most KF frames
+            N_cap = tracker.ms.kf_mp_idx.shape[1]
+            f_pad = np.full((N_cap,), N_cap, np.int32)
+            v_pad = np.full((N_cap,), -1, np.int32)
+            nb = min(len(bind_f), N_cap)
+            f_pad[:nb] = bind_f[:nb]
+            v_pad[:nb] = bind_mp[:nb]
             tracker.ms = dataclasses.replace(
                 tracker.ms,
                 kf_mp_idx=tracker.ms.kf_mp_idx.at[
-                    k2, jnp.asarray(bind_f)].set(
-                    jnp.asarray(bind_mp, dtype=jnp.int32)))
+                    k2, jnp.asarray(f_pad)].set(
+                    jnp.asarray(v_pad), mode="drop"))
         for keep, absorb in merges:
             if keep == absorb:
                 continue
