@@ -3,17 +3,23 @@
 
 Two measurements:
 
-1. **System FPS** (headline): median wall-clock time of
-   `System.track_monocular` over a synthetic textured world — the FULL
-   per-frame cost including host orchestration, exactly what the
-   reference's ~20 ms/frame covers (Examples/Monocular/
-   mono_euroc_vins.cc:142-163 measures the same boundary). Median, like
-   the reference's reporting, so the occasional keyframe-creation frame
-   (mapping work, which the reference runs on a second thread) doesn't
-   skew the tracking number.
+1. **System FPS** (headline): steady-state WALL-CLOCK THROUGHPUT of
+   `System.track_monocular` over a synthetic textured world — measured
+   frames divided by total elapsed time over the post-warm-up window,
+   INCLUDING every pipeline-drain and keyframe/mapping frame. (A median
+   of per-call times is invalid under pipelining: 7 of 8 calls only
+   enqueue device work, so their latency measures the host, not the
+   system — the round-3 headline made exactly that mistake and printed
+   314 "FPS" against its own 84 FPS device ceiling.) The reference's
+   per-frame boundary is Examples/Monocular/mono_euroc_vins.cc:142-163;
+   throughput over that same boundary is what its median reports,
+   because its calls block.
 2. **Kernel FPS**: the tracking hot path as one fused device program
    (pyramid + sparse align + direct KLT + pose opt) — the device-side
-   ceiling.
+   ceiling. Per-stage timings go to stderr for regression attribution.
+
+Sanity gates: tracked_fraction >= 0.9 and system_fps <= kernel_fps * 1.2
+(a "system" faster than its own hot-path ceiling is a metric artifact).
 
 Prints ONE JSON line; vs_baseline = system FPS / 50 (the reference's
 ~20 ms/frame on CPU; >= 3 means the BASELINE.json 3x target is met).
@@ -48,8 +54,11 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
-def bench_kernel():
-    """Device hot path: one fused jit call per frame."""
+def bench_kernel(report_stages: bool = True):
+    """Device hot path: one fused jit call per frame. Also times each
+    stage separately (stderr) so a regression is attributable — the
+    84-vs-226 FPS mystery of round 3 (tunnel variance, not code) would
+    have been obvious with this breakdown."""
     import jax
     import jax.numpy as jnp
     from ygz_tpu.backend import ba
@@ -108,6 +117,7 @@ def bench_kernel():
         return pyr_cur, T2["q"], T2["t"], n_in
 
     pyr_ref = pyramid.build_pyramid(img_ref, n_levels, scale)
+    pyr_ref = jax.block_until_ready(pyr_ref)
     T0 = lie.se3_identity()
 
     # warmup / compile
@@ -120,6 +130,39 @@ def bench_kernel():
         out = frame_step(img_cur, pyr_ref, T0)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
+
+    if report_stages:
+        def timed(fn, *args, n=100):
+            o = fn(*args)
+            jax.block_until_ready(o)
+            t = time.perf_counter()
+            for _ in range(n):
+                o = fn(*args)
+            jax.block_until_ready(o)
+            return (time.perf_counter() - t) / n, o
+
+        s_pyr = jax.jit(lambda im: pyramid.build_pyramid(im, n_levels, scale))
+        s_sa = jax.jit(lambda pr, pc: align.sparse_image_align(
+            T0, pr, pc, uv, pts_ref, mask, cam, scales,
+            max_level=n_levels - 1))
+        s_klt = jax.jit(lambda im: align.align2d(im, ref_patches, uv_c,
+                                                 mask_c))
+        t_p, pyr_cur = timed(s_pyr, img_cur)
+        t_s, (T_sa, _) = timed(s_sa, pyr_ref, pyr_cur)
+        t_k, (uv_r, conv) = timed(s_klt, pyr_cur[0])
+        if on_tpu:
+            from ygz_tpu.ops import pallas_pose
+            s_po = jax.jit(lambda T, u, c: pallas_pose.pose_optimization_fused(
+                T, pts_c, u, inv_s2, c, cam.fx, cam.fy, cam.cx, cam.cy))
+        else:
+            s_po = jax.jit(lambda T, u, c: ba.pose_optimization(
+                T, pts_c, u, ur, inv_s2, c, cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.bf))
+        t_o, _ = timed(s_po, T_sa, uv_r, conv)
+        print(f"[bench] kernel stages (ms): pyramid={t_p*1e3:.2f} "
+              f"sparse_align={t_s*1e3:.2f} align2d={t_k*1e3:.2f} "
+              f"pose_opt={t_o*1e3:.2f} | fused={dt*1e3:.2f} "
+              f"({1.0/dt:.1f} FPS)", file=sys.stderr, flush=True)
     return 1.0 / dt
 
 
@@ -149,9 +192,12 @@ def synthetic_render_jittable(tex, T_cw, cam):
     return img.reshape(H, W)
 
 
-def bench_system(n_frames: int = 120, warm_frames: int = 30):
-    """Full-system per-frame wall clock: System.track_monocular on a
-    752x480 synthetic world. Returns (median_fps, tracked_fraction)."""
+def bench_system(n_frames: int = 200, warm_frames: int = 40,
+                 use_loop_closing: bool = False):
+    """Full-system steady-state throughput: System.track_monocular on a
+    752x480 synthetic world, wall-clock over the post-warm-up window
+    INCLUDING pipeline drains and keyframe/mapping work. Returns
+    (throughput_fps, tracked_fraction, median_call_fps)."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
     import synthetic
@@ -181,10 +227,13 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
               for _, T_cw in traj]
 
     # pipelined depth 8: gate readbacks batched 8 frames deep so device
-    # work streams and the tunnel round trip amortizes (the honest
-    # system number — same per-frame work, throughput mode; frames are
-    # fed as uint8 like a real dataset loader)
-    slam = System(cfg, use_loop_closing=False, pipelined=True,
+    # work streams and the tunnel round trip amortizes; frames are fed
+    # as uint8 like a real dataset loader. Throughput (below) charges
+    # every drain to the clock, so pipelining cannot hide work — it only
+    # overlaps it, exactly like the reference's mapping thread.
+    from ygz_tpu.utils import timing
+    timing.enable(True)
+    slam = System(cfg, use_loop_closing=use_loop_closing, pipelined=True,
                   pipeline_depth=8)
     times = []
     n_ok = 0
@@ -193,11 +242,14 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
     # frames fit in the budget rather than blowing the driver's timeout
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
+    t_meas = None
     for i, ((ts, _), img) in enumerate(zip(traj, frames)):
+        if i == warm_frames:
+            t_meas = time.perf_counter()
         t0 = time.perf_counter()
         slam.track_monocular(img, ts)
         dt = time.perf_counter() - t0
-        if dt > 1.0 or i % 25 == 0:
+        if dt > 1.0 or i % 50 == 0:
             print(f"[bench] frame {i}: {dt:.2f}s "
                   f"(elapsed {time.perf_counter() - t_start:.0f}s)",
                   file=sys.stderr, flush=True)
@@ -205,21 +257,31 @@ def bench_system(n_frames: int = 120, warm_frames: int = 30):
             times.append(dt)
             n_ok += int(slam.tracker.state == tracking.OK)
         if time.perf_counter() - t_start > budget_s:
-            if len(times) < 20:
+            if len(times) < 40:
                 raise TimeoutError(
                     f"system bench budget ({budget_s:.0f}s) exhausted "
                     f"during compilation warm-up at frame {i + 1}")
             print(f"[bench] budget hit after {i + 1} frames",
                   file=sys.stderr)
             break
-    med = float(np.median(times))
+    # the in-flight tail belongs to the measured work: flush inside the
+    # clock so the last frames' device work can't escape the denominator
+    slam.tracker.flush_pipeline()
+    wall = time.perf_counter() - t_meas
+    throughput = len(times) / wall
+    med_call = float(np.median(times))
     tracked = n_ok / max(len(times), 1)
-    if tracked < 0.8:
+    print(f"[bench] {len(times)} measured frames in {wall:.1f}s -> "
+          f"{throughput:.1f} FPS wall-clock (median call "
+          f"{1.0/med_call:.1f}/s, tracked {tracked:.2f})", file=sys.stderr)
+    print("[bench] stage attribution:\n" + timing.report(min_total=0.05),
+          file=sys.stderr, flush=True)
+    if tracked < 0.9:
         # a regression that fails most frames must not print a (fast!)
         # FPS line — failed frames are cheap and inflate the number
         raise RuntimeError(
-            f"system bench invalid: tracked_fraction={tracked:.2f} < 0.8")
-    return 1.0 / med, tracked
+            f"system bench invalid: tracked_fraction={tracked:.2f} < 0.9")
+    return throughput, tracked, 1.0 / med_call
 
 
 def main():
@@ -237,18 +299,28 @@ def main():
     else:
         kernel_fps = bench_kernel()
     try:
-        system_fps, tracked = bench_system()
+        system_fps, tracked, med_fps = bench_system(
+            use_loop_closing=bool(os.environ.get("BENCH_LOOP")))
     except Exception as e:  # pragma: no cover — keep the bench line alive
         print(f"[bench] system bench failed: {e!r}", file=sys.stderr)
-        system_fps, tracked = None, 0.0
+        system_fps, tracked, med_fps = None, 0.0, 0.0
+
+    if system_fps is not None and np.isfinite(kernel_fps) \
+            and system_fps > kernel_fps * 1.2:
+        # a "system" faster than its own device hot path is a metric
+        # artifact (round 3's 314-vs-84 contradiction); refuse to print it
+        print(f"[bench] INVALID: system {system_fps:.1f} > kernel "
+              f"{kernel_fps:.1f} x 1.2", file=sys.stderr)
+        system_fps = None
 
     if system_fps is not None:
         out = {
-            "metric": "system_tracking_fps_euroc_frame",
+            "metric": "system_tracking_fps_euroc_throughput",
             "value": round(system_fps, 2),
             "unit": "frames/s",
             "vs_baseline": round(system_fps / 50.0, 3),
             "kernel_fps": round(kernel_fps, 2),
+            "median_call_fps": round(med_fps, 2),
             "tracked_fraction": round(tracked, 3),
         }
     else:

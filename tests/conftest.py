@@ -61,7 +61,13 @@ assert jax.devices()[0].platform == "cpu", (
 # pytest invocations turns a ~10 min cold run into seconds warm
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# cache EVERYTHING (no 0.5 s threshold): the long single-process suite
+# accumulates LLVM JIT state with every fresh compile and can segfault
+# compiling a big program late in the run (see lore below) — sub-0.5 s
+# programs that are never cached re-JIT on every run and recreate that
+# cumulative state even on warm reruns. With a full cache, a crashed
+# run persists everything it compiled and the rerun JITs almost nothing.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # XLA:CPU segfault lore (do not re-litigate without new evidence): long
@@ -77,3 +83,28 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # cache hits skip JIT entirely, and a crashed run still persists what
 # it compiled, so reruns converge past the crash point.
 
+
+
+# --- collection order: heaviest programs first -----------------------------
+# XLA:CPU segfault lore, continued (round 4): the suite now compiles more
+# large programs (fused mapping kernels), and the long single-process run
+# started segfaulting while COMPILING OR LOADING the biggest executable
+# (posegraph.optimize_sim3_graph, ~63% into the run) — deterministically,
+# yet the same test passes in a fresh process via both the compile and the
+# cache-read path. The trigger is cumulative per-process JIT state (eh-frame
+# registration across hundreds of loaded programs), not the program itself.
+# Mitigation with evidence from round 3's "construction-time warm-up":
+# load the big programs while the process is YOUNG — hoist the heavy test
+# modules to the front of the collection order.
+_HEAVY_FIRST = ["test_loopclosing", "test_vi_ba", "test_parallel",
+                "test_e2e_pipelined", "test_e2e_mono"]
+
+
+def pytest_collection_modifyitems(config, items):
+    def key(item):
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        try:
+            return (_HEAVY_FIRST.index(name), 0)
+        except ValueError:
+            return (len(_HEAVY_FIRST), 0)
+    items.sort(key=key)

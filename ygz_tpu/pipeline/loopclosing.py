@@ -380,7 +380,6 @@ class LoopClosing:
                 continue
             if cur >= 0:
                 tracker.ms = _replace_map_point(tracker.ms, cur, loop_mp)
-                tracker.mp_alloc[cur] = False
             bind_f.append(f)
             bind_mp.append(loop_mp)
         if bind_f:
@@ -415,7 +414,6 @@ class LoopClosing:
                     continue
                 if cur >= 0:
                     tracker.ms = _replace_map_point(tracker.ms, cur, loop_mp)
-                    tracker.mp_alloc[cur] = False
                 bind_f.append(int(f))
                 bind_mp.append(loop_mp)
             if bind_f:

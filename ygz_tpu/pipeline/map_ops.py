@@ -87,6 +87,7 @@ def add_map_points(ms: MapState, slots, pos, desc, normal, min_d, max_d,
     )
 
 
+@jax.jit
 def bind_observations(ms: MapState) -> MapState:
     """Recompute mp_obs_count after a KF's mp_idx row changed: counts are
     derived entirely from kf_mp_idx so they can't drift (the reference

@@ -5,18 +5,21 @@ duplicate fusion, and windowed local bundle adjustment.
 Mirrors LocalMapping::Run's per-KF sequence (/root/reference/src/
 LocalMapping.cc:777-854: ProcessNewKeyFrame -> MapPointCulling ->
 CreateNewMapPoints -> SearchInNeighbors -> local BA) but synchronously
-(determinism first; the reference's thread interleaving changes results
-run-to-run) and with every per-feature loop replaced by batched device
-ops. The local BA gathers a fixed-capacity window (poses + points + obs)
-into a compact BAProblem, solves with the Schur engine, and scatters
-results back.
+and batched: the whole step is four fused device programs
+(pipeline/mapping_kernels.py) dispatched without any blocking host sync —
+decisions (slot allocation, fuse binding, cull victims) are computed on
+device, and the per-KF stats bundle is read back LATER, batched into the
+pipelined tracker's drain readback. On a tunneled accelerator where every
+eager op costs 20-46 ms and every scalar readback ~60 ms, this is the
+difference between ~28 s and ~10 ms of host time per keyframe (measured,
+round 4).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -24,14 +27,17 @@ import numpy as np
 
 from ygz_tpu.backend import ba
 from ygz_tpu.core import lie
-from ygz_tpu.matching import search
 from ygz_tpu.pipeline import map_ops, mapstate
+from ygz_tpu.pipeline import mapping_kernels as mk
 from ygz_tpu.pipeline.initializer import triangulate
+from ygz_tpu.utils import timing
 from ygz_tpu.utils.config import SlamConfig
 from ygz_tpu.utils.log import logger
 
-WINDOW_KF_CAP = 32        # window + fixed ring capacity for local BA
-LOCAL_MP_CAP = 4096
+WINDOW_KF_CAP = mk.WINDOW_KF_CAP   # window + fixed ring capacity (local BA)
+LOCAL_MP_CAP = mk.LOCAL_MP_CAP
+
+_PROTECT_NONE = None  # lazily created [12] of -1
 
 
 class LocalMapping:
@@ -39,348 +45,118 @@ class LocalMapping:
         self.cfg = cfg
         self._ba_mesh = None          # lazily resolved device mesh
         self._ba_mesh_checked = False
-        # recently created points: (mp_id, kf_count_at_creation)
-        self.recent: List[Tuple[int, int]] = []
+        # recently created points: a DEVICE ring (ids, born-kf-count, head)
+        self.ring_ids, self.ring_born, self.ring_head = mk.make_ring()
         self.kf_count = 0
-        self.last_stats: dict = {}   # per-KF diagnostics (logging/metrics)
+        # per-KF stats bundles awaiting readback (resolved at the
+        # pipelined drain, or immediately in synchronous mode)
+        self.pending: List = []
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, tracker, slot: int, fr):
+        """Dispatch the mapping step for keyframe `slot` — four jitted
+        programs, zero blocking syncs (see module docstring)."""
         self.kf_count += 1
         cfg = self.cfg
-        self._cull_map_points(tracker)
-        if tracker.n_kf >= 2 and fr is not None:
-            self._create_new_map_points(tracker, slot, fr)
-            self._fuse_neighbors(tracker, slot)
-        if tracker.n_kf >= 3:
-            self._local_ba(tracker, slot)
-            self._cull_keyframes(tracker, slot)
-        tracker.ms = map_ops.refresh_map_points(
-            tracker.ms, jnp.ones((cfg.max_map_points,), bool),
-            cfg.scale_factor, cfg.n_levels)
-        if logger.isEnabledFor(10):  # DEBUG
-            st = self.last_stats.get(slot, {})
-            logger.debug(
-                "KF %d: tri pairs=%s matches=%s created=%s skipped_bl=%s "
-                "alive_mp=%d", slot, st.get("pairs"), st.get("matches"),
-                st.get("created"), st.get("skipped_baseline"),
-                int(np.asarray(tracker.ms.mp_mask).sum()))
+        use_imu = cfg.use_imu
+        do_tri = tracker.n_kf >= 2 and fr is not None
+        do_ba = tracker.n_kf >= 3
+        # before VI init the preintegration chain is the init's input: the
+        # reference starves culling until then (TryInitVIO holds
+        # FlagCopyInitKFs, /root/reference/src/LocalMapping.cc:224-228,
+        # 1425-1427); culling resumes with the VIO guards once inited
+        do_cull = do_ba and (not use_imu
+                             or getattr(tracker, "vins_inited", False))
 
-    # ------------------------------------------------------------------
-    def _cull_keyframes(self, tracker, slot: int):
-        """Reference KeyFrameCulling (/root/reference/src/LocalMapping.cc:
-        1419-1500): a covisible KF is redundant if >=90% of its map points
-        are observed by at least 3 other keyframes. When IMU is on, the
-        reference's VIO guards apply (:1440-1452): never cull recent KFs
-        (frame-id gap <= 10), never the temporal predecessor of the
-        current KF, never a KF within 0.15 s of it — the preintegration
-        chain across a culled KF is re-stitched by the tracker's
-        on_keyframe_killed (VioTracker merges the IMU gap into the
-        successor, the reference's SetBadFlag + ComputePreInt path)."""
-        ms = tracker.ms
-        use_imu = self.cfg.use_imu
-        if use_imu and not getattr(tracker, "vins_inited", False):
-            # before VI init the preintegration chain is the init's
-            # input: the reference effectively starves culling here (its
-            # TryInitVIO thread holds FlagCopyInitKFs every few ms until
-            # initialization, and KeyFrameCulling bails when it is set,
-            # /root/reference/src/LocalMapping.cc:224-228, 1425-1427);
-            # culling resumes with the VIO guards once inited
-            return
+        with timing.stage("map.p1_tri"):
+            (tracker.ms, self.ring_ids, self.ring_born, self.ring_head,
+             n_killed, n_created) = mk.cull_and_triangulate(
+                tracker.ms, self.ring_ids, self.ring_born, self.ring_head,
+                self.kf_count, slot, fr.pyramid,
+                bool(getattr(tracker, "depth_exact", False)), cfg,
+                do_tri=do_tri)
+        if do_tri:
+            with timing.stage("map.p2_fuse"):
+                tracker.ms, self.ring_ids, n_fused = mk.fuse_step(
+                    tracker.ms, slot, self.ring_ids, cfg)
+        else:
+            n_fused = 0.0
+        if do_ba:
+            mesh = self._ba_mesh_or_none()
+            with timing.stage("map.p3_ba"):
+                if mesh is not None:
+                    self._local_ba(tracker, slot)   # sharded multi-chip path
+                else:
+                    tracker.ms = mk.local_ba_step(tracker.ms, slot, cfg)
+
         if use_imu:
-            cur_ts = float(np.asarray(ms.kf_timestamp)[slot])
+            # VIO cull guards (/root/reference/src/LocalMapping.cc:
+            # 1440-1452): protect the 10 most recent KFs + the temporal
+            # predecessor; the 0.15 s window is enforced on device
             order = list(getattr(tracker, "kf_order", []))
-            pred = order[order.index(slot) - 1] \
-                if slot in order and order.index(slot) > 0 else -1
-            # the reference's "<= 10" guard is on KEYFRAME ids — it
-            # protects the ten most recent keyframes, not a ten-frame
-            # window (at the dense pre-init KF cadence a frame-id window
-            # would thin the chain and wreck the [s,g,ba] conditioning)
-            recent = set(order[-10:])
-        obs_count = np.asarray(ms.mp_obs_count)
-        for k in self._covisible(tracker, slot, 10):
-            if k == slot or k == tracker.ref_kf or k <= 1:
-                continue
-            if use_imu:
-                if k in recent:
-                    continue
-                if k == pred:
-                    continue
-                if float(np.asarray(ms.kf_timestamp)[k]) >= cur_ts - 0.15:
-                    continue
-            mp = np.asarray(ms.kf_mp_idx[k])
-            valid = (mp >= 0) & np.asarray(ms.kf_feat_mask[k])
-            ids = mp[valid]
-            if len(ids) < 20:
-                continue
-            redundant = (obs_count[ids] >= 4).mean()
-            if redundant > 0.9:
-                tracker.ms = _kill_keyframe(tracker.ms, k)
-                tracker.ms = map_ops.bind_observations(tracker.ms)
-                tracker.on_keyframe_killed(k)
-                break  # at most one per round, like the reference's pacing
+            prot = order[-10:]
+            if slot in order and order.index(slot) > 0:
+                prot.append(order[order.index(slot) - 1])
+            prot_pad = np.full((12,), -1, np.int32)
+            prot_pad[:len(prot)] = prot[:12]
+            protect = jnp.asarray(prot_pad)
+            cur_ts = float(fr.timestamp) if fr is not None else 0.0
+        else:
+            protect = _protect_none()
+            cur_ts = 0.0
+        with timing.stage("map.p4_cull"):
+            tracker.ms, self.ring_ids, stats = mk.cull_kf_and_refresh(
+                tracker.ms, self.ring_ids, slot, tracker.ref_kf,
+                protect, cur_ts, n_killed, n_created, n_fused, cfg,
+                use_imu, do_cull=do_cull)
+        self.pending.append(stats)
+        if tracker.pipeline_depth <= 1:
+            # synchronous mode: resolve now (one readback per KF)
+            self.resolve_pending(tracker)
 
     # ------------------------------------------------------------------
-    def _cull_map_points(self, tracker):
-        """Reference MapPointCulling (/root/reference/src/LocalMapping.cc:
-        930-964): kill low found-ratio or under-observed recent points."""
-        if not self.recent:
+    # deferred stats resolution (host bookkeeping)
+    # ------------------------------------------------------------------
+    def resolve_pending(self, tracker, stats_np=None):
+        """Apply the host-side bookkeeping from the per-KF stats bundles:
+        culled-KF slot recycling + trajectory re-anchoring, and capacity
+        growth with hysteresis (alive > 75 % so a few frames of readback
+        lag cannot overflow the allocator)."""
+        if not self.pending:
             return
-        ms = tracker.ms
-        found = np.asarray(ms.mp_found)
-        visible = np.asarray(ms.mp_visible)
-        obs = np.asarray(ms.mp_obs_count)
-        kill, keep_recent = [], []
-        for mp_id, born in self.recent:
-            age = self.kf_count - born
-            ratio = found[mp_id] / max(visible[mp_id], 1)
-            if ratio < 0.25:
-                kill.append(mp_id)
-            elif age >= 2 and obs[mp_id] <= 2:
-                kill.append(mp_id)
-            elif age >= 3:
-                pass  # graduated
-            else:
-                keep_recent.append((mp_id, born))
-        self.recent = keep_recent
-        if kill:
-            tracker.ms = _kill_map_points(tracker.ms,
-                                          jnp.asarray(np.array(kill, np.int32)))
-            tracker.mp_alloc[np.array(kill)] = False
-            tracker.ms = map_ops.bind_observations(tracker.ms)
+        pending, self.pending = self.pending, []
+        if stats_np is None:
+            with timing.stage("map.resolve_readback"):
+                stats_np = [np.asarray(s) for s in jax.device_get(pending)]
+        for st in stats_np:
+            victim = int(st[mk.S_VICTIM])
+            if victim >= 0:
+                tda = {"q": jnp.asarray(st[mk.S_TDA:mk.S_TDA + 4]),
+                       "t": jnp.asarray(st[mk.S_TDA + 4:mk.S_TDA + 7])}
+                tracker.on_keyframe_killed(victim,
+                                           anchor=int(st[mk.S_ANCHOR]),
+                                           T_dead_anchor=tda)
+            alive = float(st[mk.S_ALIVE_MP])
+            if alive > 0.75 * self.cfg.max_map_points:
+                with timing.stage("map.grow"):
+                    tracker.ms = mapstate.grow(tracker.ms, mp_factor=2)
+                    self.cfg.max_map_points *= 2
+                    logger.info("map grown to %d points",
+                                self.cfg.max_map_points)
+        if logger.isEnabledFor(10) and len(stats_np):  # DEBUG
+            st = stats_np[-1]
+            logger.debug(
+                "KF step: killed=%d created=%d fused=%d alive_mp=%d "
+                "alive_kf=%d victim=%d", int(st[mk.S_N_KILLED]),
+                int(st[mk.S_N_CREATED]), int(st[mk.S_N_FUSED]),
+                int(st[mk.S_ALIVE_MP]), int(st[mk.S_ALIVE_KF]),
+                int(st[mk.S_VICTIM]))
 
     # ------------------------------------------------------------------
     def _covisible(self, tracker, slot: int, n: int) -> List[int]:
         counts = np.asarray(mapstate.covisibility_counts(tracker.ms, slot))
         order = np.argsort(-counts)
         return [int(k) for k in order[:n] if counts[k] >= 15]
-
-    # ------------------------------------------------------------------
-    def _create_new_map_points(self, tracker, slot: int, fr):
-        """Reference CreateNewMapPoints (/root/reference/src/LocalMapping.cc:
-        978-1227): triangulate unmatched features of the new KF against its
-        best covisible neighbors with epipolar-gated matching."""
-        cfg = self.cfg
-        n_neighbors = 20 if cfg.camera.bf == 0 else 10
-        neighbors = self._covisible(tracker, slot, n_neighbors)
-        if not neighbors:
-            # bootstrap: use the temporally nearest alive KF
-            prev = tracker._nearest_alive_kf(slot)
-            if prev == slot:
-                return
-            neighbors = [prev]
-
-        ms = tracker.ms
-        K = jnp.asarray(cfg.camera.K)
-        T1 = {"q": ms.kf_q[slot], "t": ms.kf_t[slot]}
-        c1 = map_ops._cam_center(T1)
-        lvl_sigma2 = jnp.asarray(cfg.level_sigma2)
-
-        # median scene depth in the new KF (for the baseline gate below)
-        bound = ms.kf_mp_idx[slot]
-        bound_ids = jnp.where(bound >= 0, bound, 0)
-        depths = lie.se3_apply(T1, ms.mp_pos[bound_ids])[:, 2]
-        dvalid = np.asarray((bound >= 0) & ms.kf_feat_mask[slot]
-                            & ms.mp_mask[bound_ids])
-        med_depth = float(np.median(np.asarray(depths)[dvalid])) \
-            if dvalid.any() else 1.0
-
-        free1 = ms.kf_feat_mask[slot] & (ms.kf_mp_idx[slot] < 0)
-        if getattr(tracker, "depth_exact", False):
-            # depth-SENSOR features (RGB-D) are excluded from parallax
-            # triangulation: their depth is already known to sensor
-            # accuracy, and a KF-to-KF baseline a few frames long is far
-            # noisier — on the RGB-D e2e, letting culled depth points get
-            # re-triangulated this way warped the map scale to 0.5x.
-            # Stereo keeps triangulating: its SAD depth is itself a
-            # one-baseline triangulation, no better than the KF pair's.
-            free1 = free1 & ~(ms.kf_ur[slot] >= 0)
-        stats = self.last_stats.setdefault(slot, dict(
-            pairs=0, skipped_baseline=0, matches=0, created=0))
-        for k2 in neighbors:
-            T2 = {"q": ms.kf_q[k2], "t": ms.kf_t[k2]}
-            c2 = map_ops._cam_center(T2)
-            baseline = float(jnp.linalg.norm(c1 - c2))
-            # mono gate: skip pairs whose baseline is tiny relative to the
-            # scene depth (reference ratioBaselineDepth < 0.01 skip,
-            # /root/reference/src/LocalMapping.cc:1010-1033)
-            if baseline < 0.01 * med_depth:
-                stats["skipped_baseline"] += 1
-                continue
-            stats["pairs"] += 1
-            ms = tracker.ms
-            free2 = ms.kf_feat_mask[k2] & (ms.kf_mp_idx[k2] < 0)
-            F12 = _fundamental(T1, T2, K)
-            res = search.search_for_triangulation(
-                ms.kf_desc[slot], ms.kf_uv[slot], ms.kf_angle[slot], free1,
-                ms.kf_desc[k2], ms.kf_uv[k2], ms.kf_angle[k2], free2,
-                F12, ms.kf_level[k2], lvl_sigma2)
-            n_match = int(jnp.sum(res.mask))
-            stats["matches"] += n_match
-            if n_match < 5:
-                continue
-
-            pos, good, gates = _triangulate_checked(
-                T1, T2, K, ms.kf_uv[slot], ms.kf_uv[k2][res.idx],
-                res.mask, ms.kf_level[slot],
-                ms.kf_level[k2][res.idx], lvl_sigma2,
-                cfg.scale_factor)
-            if logger.isEnabledFor(10):
-                logger.debug("  pair (%d,%d): %s", slot, k2,
-                             {k: int(v) for k, v in gates.items()})
-            good_np = np.asarray(good)
-            n_new = int(good_np.sum())
-            if n_new == 0:
-                continue
-            stats["created"] += n_new
-            # PADDED to the static feature capacity: a variable-length
-            # np.where index gives every (KF pair, count) its own
-            # gather/scatter shapes — dozens of fresh device programs per
-            # keyframe (the round-2 bench warm-up torrent)
-            N = cfg.n_features
-            idx1_np = np.where(good_np)[0][:N]
-            slots_np = tracker.alloc_mp_slots(len(idx1_np))
-            idx1_np = idx1_np[:len(slots_np)]
-            if len(slots_np) == 0:
-                continue
-            n = len(slots_np)
-            valid_np = np.zeros((N,), bool)
-            valid_np[:n] = True
-            f1_pad = np.zeros((N,), np.int32)
-            f1_pad[:n] = idx1_np
-            sl_pad = np.zeros((N,), np.int32)
-            sl_pad[:n] = slots_np
-            vmask = jnp.asarray(valid_np)
-            f1 = jnp.asarray(f1_pad)
-            f2 = res.idx[f1]
-            sl = jnp.asarray(sl_pad)
-
-            lvl = ms.kf_level[slot][f1]
-            patches = tracker._patches_at_levels(fr.pyramid,
-                                                 ms.kf_uv[slot][f1], lvl)
-            posj = pos[f1]
-            normal = posj - c1[None]
-            normal = normal / jnp.maximum(
-                jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
-            tracker.ms = map_ops.add_map_points(
-                tracker.ms, sl, posj, ms.kf_desc[slot][f1], normal,
-                jnp.zeros((N,)), jnp.full((N,), 1e9),
-                jnp.full((N,), slot, jnp.int32), lvl, patches,
-                jnp.full((N,), slot, jnp.int32), vmask)
-            # bind in both KFs (pad lanes scatter out of range = drop)
-            tracker.ms = dataclasses.replace(
-                tracker.ms,
-                kf_mp_idx=tracker.ms.kf_mp_idx
-                .at[slot, jnp.where(vmask, f1, N)].set(sl, mode="drop")
-                .at[k2, jnp.where(vmask, f2, N)].set(sl, mode="drop"))
-            free1 = free1.at[jnp.where(vmask, f1, N)].set(
-                False, mode="drop")
-            self.recent.extend((int(s), self.kf_count) for s in slots_np)
-        tracker.ms = map_ops.bind_observations(tracker.ms)
-
-    # ------------------------------------------------------------------
-    def _fuse_neighbors(self, tracker, slot: int):
-        """Reference SearchInNeighbors (/root/reference/src/LocalMapping.cc:
-        1228-1328), both directions: (a) the new KF's points project into
-        each neighbor, (b) the union of the neighbors' points
-        (vpFuseCandidates) projects into the new KF."""
-        neighbors = self._covisible(tracker, slot, 10)
-        slot_ids = self._kf_point_ids(tracker.ms, [slot])
-        # forward: new KF's points into each neighbor (and itself, which
-        # binds re-detected features of its own points)
-        for k2 in neighbors + [slot]:
-            self._fuse_into(tracker, k2, slot_ids)
-        # reverse: neighbors' points into the new KF
-        if neighbors:
-            neigh_ids = self._kf_point_ids(tracker.ms, neighbors)
-            self._fuse_into(tracker, slot, neigh_ids)
-        tracker.ms = map_ops.bind_observations(tracker.ms)
-
-    @staticmethod
-    def _kf_point_ids(ms, kfs: List[int]) -> np.ndarray:
-        ids = np.unique(np.concatenate(
-            [np.asarray(ms.kf_mp_idx[k]) for k in kfs]))
-        ids = ids[ids >= 0]
-        return ids[np.asarray(ms.mp_mask)[ids]]
-
-    def _fuse_into(self, tracker, k2: int, src_ids: np.ndarray):
-        """Project `src_ids` map points into KF k2 and fuse: bind free
-        features, merge duplicates (more-observed point wins). Points
-        already bound in k2 are skipped — a point must not bind to a
-        second feature of the same KF (would double-weight it in BA)."""
-        cfg = self.cfg
-        ms = tracker.ms
-        if len(src_ids) == 0:
-            return
-        C = LOCAL_MP_CAP
-        idsp = np.full((C,), -1, np.int64)
-        idsp[:min(len(src_ids), C)] = src_ids[:C]
-        cand = jnp.asarray(np.where(idsp >= 0, idsp, 0).astype(np.int32))
-        cand_valid = jnp.asarray(idsp >= 0) & ms.mp_mask[cand]
-
-        T2 = {"q": ms.kf_q[k2], "t": ms.kf_t[k2]}
-        pc = lie.se3_apply(T2, ms.mp_pos[cand])
-        z = pc[:, 2]
-        uv = jnp.stack(
-            [cfg.camera.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cfg.camera.cx,
-             cfg.camera.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cfg.camera.cy],
-            axis=-1)
-        visible = cand_valid & (z > 0.05) & \
-            (uv[:, 0] >= 0) & (uv[:, 0] < cfg.camera.width) & \
-            (uv[:, 1] >= 0) & (uv[:, 1] < cfg.camera.height)
-        dist = jnp.linalg.norm(ms.mp_pos[cand] - map_ops._cam_center(T2)[None],
-                               axis=-1)
-        pred = mapstate.predict_scale_level(dist, ms.mp_max_dist[cand],
-                                            cfg.scale_factor, cfg.n_levels)
-        radius = 3.0 * tracker.scales[pred]
-        res = search.fuse_candidates(
-            ms.mp_desc[cand], uv, radius, pred, visible,
-            ms.kf_desc[k2], ms.kf_uv[k2], ms.kf_level[k2],
-            ms.kf_feat_mask[k2])
-        # binding/merging decision (host): feature already bound?
-        m = np.asarray(res.mask)
-        tgt = np.asarray(res.idx)
-        existing = np.asarray(ms.kf_mp_idx[k2])
-        bound_here = set(int(x) for x in existing[existing >= 0])
-        obs_cnt = np.asarray(ms.mp_obs_count)
-        candn = np.asarray(cand)
-        bind_f, bind_mp, merges = [], [], []
-        for i in np.where(m)[0]:
-            mp_new = int(candn[i])
-            f = int(tgt[i])
-            cur = int(existing[f])
-            if cur < 0:
-                if mp_new in bound_here:
-                    continue  # already observed via another feature of k2
-                bind_f.append(f)
-                bind_mp.append(mp_new)
-                bound_here.add(mp_new)
-            elif cur != mp_new:
-                # merge: keep the more-observed point
-                a, b = (mp_new, cur) if obs_cnt[mp_new] >= obs_cnt[cur] \
-                    else (cur, mp_new)
-                merges.append((a, b))   # a absorbs b
-        if bind_f:
-            # static-shape scatter: pad the bind list to the feature
-            # capacity (pad lanes target row N = out of range, dropped) —
-            # a bare jnp.asarray(bind_f) scatter compiles one program per
-            # distinct bind COUNT, a fresh device compile on most KF frames
-            N_cap = tracker.ms.kf_mp_idx.shape[1]
-            f_pad = np.full((N_cap,), N_cap, np.int32)
-            v_pad = np.full((N_cap,), -1, np.int32)
-            nb = min(len(bind_f), N_cap)
-            f_pad[:nb] = bind_f[:nb]
-            v_pad[:nb] = bind_mp[:nb]
-            tracker.ms = dataclasses.replace(
-                tracker.ms,
-                kf_mp_idx=tracker.ms.kf_mp_idx.at[
-                    k2, jnp.asarray(f_pad)].set(
-                    jnp.asarray(v_pad), mode="drop"))
-        for keep, absorb in merges:
-            if keep == absorb:
-                continue
-            tracker.ms = _replace_map_point(tracker.ms, absorb, keep)
-            tracker.mp_alloc[absorb] = False
 
     # ------------------------------------------------------------------
     def _ba_mesh_or_none(self):
@@ -404,9 +180,10 @@ class LocalMapping:
         return self._ba_mesh
 
     def _local_ba(self, tracker, slot: int):
-        """Windowed BA: covisible KFs free, their observers fixed
-        (reference LocalBundleAdjustment, /root/reference/src/Optimizer.cc:
-        1844-2155), gathered into a compact fixed-capacity problem."""
+        """Windowed BA through the MESH-SHARDED Schur engine (multi-chip
+        path; the single-chip path is mapping_kernels.local_ba_step).
+        Window selection here is host-side (reference
+        LocalBundleAdjustment, /root/reference/src/Optimizer.cc:1844-2155)."""
         cfg = self.cfg
         ms = tracker.ms
         window = self._covisible(tracker, slot, 15) + [slot]
@@ -447,19 +224,14 @@ class LocalMapping:
         prob, obs_src = _gather_local_problem(
             ms, sel_j, kf_mask, kf_fixed, lp_j, mp_mask,
             jnp.asarray(cfg.inv_level_sigma2))
-        mesh = self._ba_mesh_or_none()
-        if mesh is not None:
-            from ygz_tpu.parallel import sharding
-            prob, inlier = sharding.sharded_local_ba(mesh, prob, cfg.camera)
-        else:
-            prob, inlier = _local_ba_jit(prob, cfg)
+        from ygz_tpu.parallel import sharding
+        prob, inlier = sharding.sharded_local_ba(
+            self._ba_mesh, prob, cfg.camera)
 
         # scatter back
         tracker.ms = _scatter_local_problem(tracker.ms, prob, sel_j, kf_mask,
                                             lp_j, mp_mask)
-        # unbind outlier observations — static masked scatter (a
-        # variable-length np.where gather here recompiled the unbind
-        # program once per distinct outlier count, every local BA)
+        # unbind outlier observations — static masked scatter
         drop_j = prob.obs.mask & ~inlier
         K_cap = tracker.ms.kf_mp_idx.shape[0]
         rows = jnp.where(drop_j, obs_src[0], K_cap)
@@ -468,6 +240,13 @@ class LocalMapping:
             kf_mp_idx=tracker.ms.kf_mp_idx.at[rows, obs_src[1]].set(
                 -1, mode="drop"))
         tracker.ms = map_ops.bind_observations(tracker.ms)
+
+
+def _protect_none():
+    global _PROTECT_NONE
+    if _PROTECT_NONE is None:
+        _PROTECT_NONE = jnp.full((12,), -1, jnp.int32)
+    return _PROTECT_NONE
 
 
 # ---------------------------------------------------------------------------

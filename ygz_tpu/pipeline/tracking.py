@@ -32,6 +32,7 @@ from ygz_tpu.ops import align
 from ygz_tpu.pipeline import frame as frame_mod
 from ygz_tpu.pipeline import initializer, map_ops, mapstate
 from ygz_tpu.pipeline.mapstate import MapState
+from ygz_tpu.utils import timing
 from ygz_tpu.utils.config import SlamConfig
 from ygz_tpu.utils.log import logger
 
@@ -91,8 +92,7 @@ class Tracker:
         self.n_kf: int = 0          # alive keyframes
         self.kf_next: int = 0       # next never-used slot (high-water mark)
         self.kf_free: List[int] = []  # culled slots available for reuse
-        self.mp_alloc = np.zeros((cfg.max_map_points,), bool)  # host mirror
-        self.direct_cache: Optional[np.ndarray] = None  # candidate mp ids
+        self.direct_cache: bool = False   # device candidate set built?
         self.direct_cache_len = 512
         self.last_kf_frame_id = 0
         self.last_inliers = 0
@@ -118,18 +118,18 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def alloc_mp_slots(self, n: int) -> np.ndarray:
-        free = np.where(~self.mp_alloc)[0]
+        """Free map-point slots for a HOST-side insertion (init /
+        depth-point paths; the mapping step allocates on device from
+        ~mp_mask). mp_mask is the single allocation truth: the caller
+        must add_map_points with these slots before allocating again
+        (one blocking readback — these paths run once per KF at most)."""
+        free = np.where(~np.asarray(self.ms.mp_mask))[0]
         if len(free) < n:
             # power-of-two growth instead of silently refusing points
             self.ms = mapstate.grow(self.ms, mp_factor=2)
-            old_m = self.cfg.max_map_points
-            self.cfg.max_map_points = old_m * 2
-            self.mp_alloc = np.concatenate(
-                [self.mp_alloc, np.zeros((old_m,), bool)])
-            free = np.where(~self.mp_alloc)[0]
-        take = free[:n]
-        self.mp_alloc[take] = True
-        return take
+            self.cfg.max_map_points *= 2
+            free = np.where(~np.asarray(self.ms.mp_mask))[0]
+        return free[:n]
 
     def alloc_kf_slot(self) -> int:
         """Next keyframe slot: reuse culled slots first, grow the map when
@@ -144,27 +144,35 @@ class Tracker:
         self.kf_next += 1
         return slot
 
-    def on_keyframe_killed(self, k: int):
+    def on_keyframe_killed(self, k: int, anchor: Optional[int] = None,
+                           T_dead_anchor: Optional[dict] = None):
         """Bookkeeping when mapping culls KF k: free the slot and
         re-anchor trajectory records referencing it through the
         temporally nearest alive KF (the reference stores Tcp relative to
-        a reassigned parent at cull, /root/reference/src/System.cc:398-417)."""
+        a reassigned parent at cull, /root/reference/src/System.cc:398-417).
+        The mapping step's cull program computes (anchor, T_dead_anchor)
+        on device at cull time and passes them here via the deferred
+        stats bundle; when absent (direct callers) they are recomputed
+        from the current map."""
         self.kf_free.append(k)
         self.n_kf -= 1
+        if anchor is None or anchor < 0:
+            anchor = self._nearest_alive_kf(k)
         if self.ref_kf == k:
-            self.ref_kf = self._nearest_alive_kf(k)
+            self.ref_kf = anchor
             self._ref_obs_cache = None
         recs = [r for r in self.trajectory
                 if not r.get("lost") and r["ref_kf"] == k]
         if not recs:
             return
-        anchor = self._nearest_alive_kf(k)
-        T_dead = {"q": self.ms.kf_q[k], "t": self.ms.kf_t[k]}
-        T_anchor = {"q": self.ms.kf_q[anchor], "t": self.ms.kf_t[anchor]}
-        T_d_a = lie.se3_compose(T_dead, lie.se3_inverse(T_anchor))
+        if T_dead_anchor is None:
+            T_dead = {"q": self.ms.kf_q[k], "t": self.ms.kf_t[k]}
+            T_anchor = {"q": self.ms.kf_q[anchor], "t": self.ms.kf_t[anchor]}
+            T_dead_anchor = lie.se3_compose(T_dead, lie.se3_inverse(T_anchor))
         qs = jnp.stack([jnp.asarray(r["T_c_ref"]["q"]) for r in recs])
         ts = jnp.stack([jnp.asarray(r["T_c_ref"]["t"]) for r in recs])
-        new = lie.se3_compose({"q": qs, "t": ts}, T_d_a)
+        new = _compose_batch_jit(qs, ts, T_dead_anchor["q"],
+                                 T_dead_anchor["t"])
         for i, r in enumerate(recs):
             r["ref_kf"] = anchor
             r["T_c_ref"] = {"q": new["q"][i], "t": new["t"][i]}
@@ -204,9 +212,7 @@ class Tracker:
         if fr.T_cw is not None and self.state == OK:
             T_c_ref = fr.T_c_ref
             if T_c_ref is None:
-                T_ref = {"q": self.ms.kf_q[self.ref_kf],
-                         "t": self.ms.kf_t[self.ref_kf]}
-                T_c_ref = lie.se3_compose(fr.T_cw, lie.se3_inverse(T_ref))
+                T_c_ref = _rel_to_kf_jit(self.ms, fr.T_cw, self.ref_kf)
             # store device arrays; export converts lazily (a per-frame
             # np.asarray here costs a device->host round trip per frame)
             self.trajectory.append(dict(
@@ -244,7 +250,7 @@ class Tracker:
             # states that need synchronous handling (init, lost, fallback)
             self.flush_pipeline()
             return self.track(fr)
-        if self.direct_cache is None:
+        if not self.direct_cache:
             self._rebuild_direct_cache()
 
         out = fused_track.fused_direct_step(
@@ -286,11 +292,16 @@ class Tracker:
         bounds system FPS at ~1/latency regardless of device speed."""
         import jax as _jax
         pending, self._pending = self._pending[:k], self._pending[k:]
-        if len(pending) == 1:
-            bundles = [np.asarray(pending[0][1].bundle)]
-        else:
-            bundles = np.asarray(
-                _jax.device_get(jnp.stack([o.bundle for _, o in pending])))
+        map_pending = []
+        if self.mapper is not None and self.mapper.pending:
+            map_pending, self.mapper.pending = self.mapper.pending, []
+        with timing.stage("track.drain_readback"):
+            # ONE round trip for everything this drain needs: the frames'
+            # gate bundles + the mapping steps' deferred stats bundles
+            bundles, map_stats = _jax.device_get(
+                ([o.bundle for _, o in pending], map_pending))
+        if map_stats and self.mapper is not None:
+            self.mapper.resolve_pending(self, stats_np=map_stats)
         for i, (pfr, pout) in enumerate(pending):
             if not self._resolve_one(pfr, bundles[i],
                                      next_fr=next_fr, tail=pending[i + 1:]):
@@ -351,9 +362,7 @@ class Tracker:
     def _record_frame(self, fr):
         T_c_ref = fr.T_c_ref
         if T_c_ref is None:
-            T_ref = {"q": self.ms.kf_q[self.ref_kf],
-                     "t": self.ms.kf_t[self.ref_kf]}
-            T_c_ref = lie.se3_compose(fr.T_cw, lie.se3_inverse(T_ref))
+            T_c_ref = _rel_to_kf_jit(self.ms, fr.T_cw, self.ref_kf)
         self.trajectory.append(dict(
             frame_id=fr.frame_id, timestamp=fr.timestamp,
             ref_kf=self.ref_kf, T_c_ref=dict(T_c_ref), lost=False))
@@ -442,8 +451,12 @@ class Tracker:
             # KF insertion must age like points created DURING mapping,
             # or the age>=2 & obs<=2 cull fires one round early — which
             # wiped the entire previous KF's points every insertion
-            self.mapper.recent.extend(
-                (int(s), self.mapper.kf_count + 1) for s in slots_np)
+            from ygz_tpu.pipeline import mapping_kernels as mk
+            (self.mapper.ring_ids, self.mapper.ring_born,
+             self.mapper.ring_head) = mk.ring_append_jit(
+                self.mapper.ring_ids, self.mapper.ring_born,
+                self.mapper.ring_head, sl, vmask,
+                self.mapper.kf_count + 1)
 
     def _monocular_initialization(self, fr: frame_mod.Frame):
         cfg = self.cfg
@@ -619,7 +632,6 @@ class Tracker:
             self.ms = mapstate.make_empty(
                 cfg.max_keyframes, cfg.max_map_points, cfg.n_features,
                 cfg.n_words)
-            self.mp_alloc[:] = False
             self.n_kf = 0
             self.kf_next = 0
             f0.T_cw = f1.T_cw = None
@@ -644,21 +656,7 @@ class Tracker:
         detector corners carry ~1 px view-dependent bias that dominates
         BA noise; photometric positions cut it ~5x."""
         cfg = self.cfg
-        uv_new, _ = map_ops.refine_bound_observations(
-            self.ms, slot, fr.pyramid, cfg.camera, cfg.n_levels,
-            cfg.scale_factor)
-        # keep the stereo column consistent: the right-image match of a
-        # rectified pair shifts with the left u at constant disparity
-        # (disparity = bf/z depends only on the point's depth) — leaving
-        # kf_ur at the old u silently corrupts the disparity by the
-        # refinement shift (up to ~20% depth error at small baselines)
-        ur_old = self.ms.kf_ur[slot]
-        du = uv_new[:, 0] - self.ms.kf_uv[slot][:, 0]
-        ur_new = jnp.where(ur_old >= 0, ur_old + du, ur_old)
-        self.ms = dataclasses.replace(
-            self.ms,
-            kf_uv=self.ms.kf_uv.at[slot].set(uv_new),
-            kf_ur=self.ms.kf_ur.at[slot].set(ur_new))
+        self.ms = _refine_kf_obs_jit(self.ms, slot, fr.pyramid, cfg)
 
     def _patches_at_levels(self, pyr, uv0, lvl):
         """Canonical patches sampled at each feature's own level."""
@@ -671,13 +669,11 @@ class Tracker:
         return out
 
     def _insert_kf_from_frame(self, fr, slot, mp_idx):
-        word_ids = vocabulary.transform(self.vocab, fr.desc, fr.feat_mask)
-        bow = vocabulary.bow_vector(self.vocab, word_ids, fr.feat_mask)
         ur = fr.ur if fr.ur is not None else jnp.full(fr.uv.shape[:1], -1.0)
-        return map_ops.insert_keyframe(
-            self.ms, slot, fr.T_cw, fr.timestamp, fr.frame_id,
-            fr.uv, ur, fr.level, fr.angle, fr.desc, fr.feat_mask,
-            mp_idx, bow)
+        return _insert_kf_jit(
+            self.ms, self.vocab, slot, fr.T_cw,
+            float(fr.timestamp), fr.frame_id, fr.uv, ur, fr.level,
+            fr.angle, fr.desc, fr.feat_mask, mp_idx)
 
     def _run_global_ba(self, iters=20):
         cfg = self.cfg
@@ -787,7 +783,7 @@ class Tracker:
         if (self.velocity is None or last is None or last.mp_idx is None
                 or last.T_cw is None or fr.extracted):
             return None
-        if self.direct_cache is None:
+        if not self.direct_cache:
             self._rebuild_direct_cache()
 
         def run():
@@ -962,29 +958,15 @@ class Tracker:
     def _rebuild_direct_cache(self):
         """Cache = map points seen by the covisible neighborhood of the
         reference KF (reference UpdateLocalMap + mvpDirectMapPointsCache,
-        /root/reference/src/Tracking.cc:2174-2246)."""
-        counts = np.asarray(mapstate.covisibility_counts(self.ms, self.ref_kf))
-        local_kfs = list(np.argsort(-counts)[:10])
-        local_kfs = [k for k in local_kfs if counts[k] > 0] + [self.ref_kf]
-        ids = np.unique(np.concatenate(
-            [np.asarray(self.ms.kf_mp_idx[k]) for k in local_kfs]))
-        ids = ids[ids >= 0]
-        mask = np.asarray(self.ms.mp_mask)[ids]
-        ids = ids[mask]
-        C = self.direct_cache_len
-        if len(ids) >= C:
-            ids = ids[:C]
-        else:
-            ids = np.concatenate([ids, np.zeros(C - len(ids), np.int64) - 1])
-        self.direct_cache = ids
-        # device copies so per-frame steps don't pay a host->device put
-        self._cand_j = jnp.asarray(
-            np.where(ids >= 0, ids, 0).astype(np.int32))
-        self._cand_valid = jnp.asarray(ids >= 0)
+        /root/reference/src/Tracking.cc:2174-2246). One jitted program,
+        no host readback — the candidate set lives on device."""
+        self._cand_j, self._cand_valid = _direct_cache_jit(
+            self.ms, self.ref_kf, self.direct_cache_len)
+        self.direct_cache = True
 
     def _track_local_map_direct(self, fr) -> bool:
         cfg = self.cfg
-        if self.direct_cache is None:
+        if not self.direct_cache:
             self._rebuild_direct_cache()
         cand_j, cand_valid = self._cand_j, self._cand_valid
 
@@ -1142,7 +1124,12 @@ class Tracker:
         # the failure floor between keyframes
         weak = self.last_inliers < 0.8 * ref_obs
         long_gap = frames_since >= max(3, int(cfg.fps))
-        recent = frames_since < 2
+        # `weak` alone may fire every other frame (direct-cache inliers sit
+        # well below the ref KF's bound-feature count); the reference
+        # throttles inserts to LocalMapping's availability
+        # (bLocalMappingIdle, /root/reference/src/Tracking.cc:1418-1439) —
+        # the synchronous analogue is a minimum KF spacing
+        recent = frames_since < cfg.kf_min_gap_frames
         # visual-inertial before init: dense keyframes (~0.3 s apart).
         # The [s, g] least squares integrates gravity over KF gaps —
         # at 1 s gaps the 0.5*g*dt^2 term (~5 m) swamps the scale
@@ -1175,6 +1162,10 @@ class Tracker:
         return (not recent) and (weak or long_gap) and self.last_inliers > 30
 
     def _create_new_keyframe(self, fr):
+        with timing.stage("track.create_kf"):
+            self._create_new_keyframe_inner(fr)
+
+    def _create_new_keyframe_inner(self, fr):
         cfg = self.cfg
         was_direct = fr.desc is None
         direct_uv = fr.uv if was_direct else None
@@ -1183,9 +1174,10 @@ class Tracker:
         direct_mask = fr.feat_mask if was_direct else None
         if was_direct:
             fr.uv = None  # force re-extraction with real descriptors
-            fr2 = frame_mod.extract_features(
-                dataclasses.replace(fr, uv=None, level=None, angle=None,
-                                    desc=None, feat_mask=None), cfg)
+            with timing.stage("track.kf.extract"):
+                fr2 = frame_mod.extract_features(
+                    dataclasses.replace(fr, uv=None, level=None, angle=None,
+                                        desc=None, feat_mask=None), cfg)
             self._copy_frame_fields(fr, fr2)
             # re-associate direct-tracked map points to extracted features
             # by projection proximity; direct points with no nearby corner
@@ -1193,11 +1185,12 @@ class Tracker:
             # their aligned positions — the reference does the same by
             # describing pre-existing keypoints in ORBextractor
             # (/root/reference/src/ORBextractor.cc:1031-1127)
-            (fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
-             fr.mp_idx) = _merge_direct_features(
-                direct_uv, direct_lvl, direct_mp, direct_mask,
-                fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
-                fr.pyramid, cfg)
+            with timing.stage("track.kf.merge_direct"):
+                (fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
+                 fr.mp_idx) = _merge_direct_features(
+                    direct_uv, direct_lvl, direct_mp, direct_mask,
+                    fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
+                    fr.pyramid, cfg)
             if fr.depth_img is not None or fr.right_pyr is not None:
                 # merged direct positions overwrote tail feature slots;
                 # re-associate metric depth at the final uv table
@@ -1205,12 +1198,14 @@ class Tracker:
                 fr.ur, fr.depth = fr2.ur, fr2.depth
 
         slot = self.alloc_kf_slot()
-        self.ms = self._insert_kf_from_frame(fr, slot, fr.mp_idx)
+        with timing.stage("track.kf.insert"):
+            self.ms = self._insert_kf_from_frame(fr, slot, fr.mp_idx)
         self.n_kf += 1
         if fr.depth is not None:
             self._create_depth_map_points(fr, slot)
         self.ms = map_ops.bind_observations(self.ms)
-        self._refine_kf_observations(slot, fr)
+        with timing.stage("track.kf.refine_obs"):
+            self._refine_kf_observations(slot, fr)
         self.ref_kf = slot
         self.last_kf_frame_id = fr.frame_id
         if self.mapper is not None:
@@ -1243,33 +1238,24 @@ def _reassociate(direct_uv, direct_mp, direct_mask, kp_uv, kp_level,
     return out, ok
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_carry"))
 def _merge_direct_features(direct_uv, direct_lvl, direct_mp, direct_mask,
                            kp_uv, kp_level, kp_angle, kp_desc, kp_mask,
                            pyr, cfg, max_carry: int = 256):
     """KF-creation feature table for a direct-tracked frame: extracted
     keypoints, with direct-tracked map points either re-associated to a
     nearby corner or appended as described features in the table's tail
-    slots (overwriting the weakest detections)."""
+    slots (overwriting the weakest detections). One device program —
+    leftover selection is a device compaction, not a host np.where."""
     from ygz_tpu.ops import orb, pyramid as pyr_mod
+    from ygz_tpu.pipeline.mapping_kernels import _compact
 
     N = cfg.n_features
     mp_idx, matched = _reassociate(direct_uv, direct_mp, direct_mask,
                                    kp_uv, kp_level, kp_mask, N)
     leftover = direct_mask & (direct_mp >= 0) & ~matched
-    n_left = int(jnp.sum(leftover))
-    if n_left == 0:
-        return kp_uv, kp_level, kp_angle, kp_desc, kp_mask, mp_idx
-
-    # PADDED to max_carry lanes: a variable carry count C recompiles the
-    # per-level orientation/descriptor programs at every keyframe (the
-    # single biggest per-KF compile source in the round-2 bench warm-up)
-    idx_np = np.where(np.asarray(leftover))[0][:max_carry]
-    C = len(idx_np)
-    idx_pad = np.zeros((max_carry,), np.int32)
-    idx_pad[:C] = idx_np
-    lane = np.arange(max_carry)
-    vmask = jnp.asarray(lane < C)
-    idx = jnp.asarray(idx_pad)
+    idx, vmask = _compact(leftover, max_carry)
+    lane = jnp.arange(max_carry)
     uv_d = direct_uv[idx]
     # describe each carried direct match at ITS OWN search level — a
     # level-0 descriptor for a point matched at a coarser level is
@@ -1286,8 +1272,11 @@ def _merge_direct_features(direct_uv, direct_lvl, direct_mp, direct_mask,
         dsc = orb.compute_descriptors(blurred, uv_l, ang, vmask)
         ang_d = jnp.where(sel, ang, ang_d)
         desc_d = jnp.where(sel[:, None], dsc, desc_d)
-    # overwrite the C tail (weakest) feature slots; pad lanes drop
-    tgt = jnp.asarray(np.where(lane < C, N - C + lane, N))
+    # overwrite the tail (weakest) feature slots, newest first; pad
+    # lanes index out of range and drop. With C = #carried lanes, lane i
+    # lands at N - C + i — computed on device via the carry count.
+    C = jnp.sum(vmask.astype(jnp.int32))
+    tgt = jnp.where(vmask, N - C + lane, N)
     kp_uv = kp_uv.at[tgt].set(uv_d, mode="drop")
     kp_level = kp_level.at[tgt].set(lvl_d, mode="drop")
     kp_angle = kp_angle.at[tgt].set(ang_d, mode="drop")
@@ -1318,3 +1307,84 @@ def _gather_observations(ms: MapState, inv_level_sigma2) -> ba.Observations:
         inv_sigma2=inv_level_sigma2[
             jnp.clip(ms.kf_level, 0, n_lvl - 1)].reshape(-1),
         mask=valid.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# fused host-free helpers (each eager op over a tunneled device costs
+# 20-46 ms of dispatch; these fold the per-KF host glue into single
+# jitted programs — see mapping_kernels module docstring)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _compose_batch_jit(qs, ts, q_da, t_da):
+    """Batch re-anchor: T_c_ref' = T_c_ref . T_dead_anchor."""
+    return lie.se3_compose({"q": qs, "t": ts}, {"q": q_da, "t": t_da})
+
+
+@jax.jit
+def _rel_to_kf_jit(ms, T_cw, ref_kf):
+    T_ref = {"q": ms.kf_q[ref_kf], "t": ms.kf_t[ref_kf]}
+    return lie.se3_compose(T_cw, lie.se3_inverse(T_ref))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _direct_cache_jit(ms, ref_kf, cap: int):
+    """Direct-cache candidate set on device: union of the map points seen
+    by the reference KF's 10 best covisible neighbors (+ itself), deduped
+    and compacted to `cap` lanes. Returns (cand [cap] int32, valid [cap])."""
+    from ygz_tpu.pipeline.mapping_kernels import _compact
+    M = ms.mp_pos.shape[0]
+    counts = mapstate.covisibility_counts(ms, ref_kf)
+    vals, idx = jax.lax.top_k(counts, 10)
+    kfs = jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+    kfs = jnp.concatenate([kfs, ref_kf[None].astype(jnp.int32)
+                           if hasattr(ref_kf, "shape")
+                           else jnp.asarray([ref_kf], jnp.int32)])
+    rows = ms.kf_mp_idx[jnp.maximum(kfs, 0)]
+    rvalid = (kfs >= 0)[:, None] & (rows >= 0) & \
+        ms.kf_feat_mask[jnp.maximum(kfs, 0)] & \
+        ms.mp_mask[jnp.maximum(rows, 0)]
+    member = jnp.zeros((M + 1,), bool).at[
+        jnp.where(rvalid, rows, M)].set(True, mode="drop")[:M]
+    return _compact(member, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L"))
+def _insert_kf_core(ms, node_desc, word_idf, node_valid, k: int, L: int,
+                    slot, q, t, timestamp, frame_id, uv, ur, level, angle,
+                    desc, feat_mask, mp_idx):
+    voc = vocabulary.Vocabulary(k=k, L=L, node_desc=node_desc,
+                                word_idf=word_idf, node_valid=node_valid)
+    word_ids = vocabulary.transform(voc, desc, feat_mask)
+    bow = vocabulary.bow_vector(voc, word_ids, feat_mask)
+    return map_ops.insert_keyframe(
+        ms, slot, {"q": q, "t": t}, timestamp, frame_id,
+        uv, ur, level, angle, desc, feat_mask, mp_idx, bow)
+
+
+def _insert_kf_jit(ms, vocab, slot, T_cw, timestamp, frame_id, uv, ur,
+                   level, angle, desc, feat_mask, mp_idx):
+    return _insert_kf_core(ms, vocab.node_desc, vocab.word_idf,
+                           vocab.node_valid, vocab.k, vocab.L, slot,
+                           T_cw["q"], T_cw["t"], timestamp, frame_id,
+                           uv, ur, level, angle, desc, feat_mask, mp_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _refine_kf_obs_jit(ms, slot, pyr, cfg: SlamConfig):
+    """Photometric KF-observation refinement + consistent stereo column
+    (see Tracker._refine_kf_observations docstring)."""
+    uv_new, _ = map_ops.refine_bound_observations(
+        ms, slot, pyr, cfg.camera, cfg.n_levels, cfg.scale_factor)
+    # keep the stereo column consistent: the right-image match of a
+    # rectified pair shifts with the left u at constant disparity
+    # (disparity = bf/z depends only on the point's depth) — leaving
+    # kf_ur at the old u silently corrupts the disparity by the
+    # refinement shift (up to ~20% depth error at small baselines)
+    ur_old = ms.kf_ur[slot]
+    du = uv_new[:, 0] - ms.kf_uv[slot][:, 0]
+    ur_new = jnp.where(ur_old >= 0, ur_old + du, ur_old)
+    return dataclasses.replace(
+        ms,
+        kf_uv=ms.kf_uv.at[slot].set(uv_new),
+        kf_ur=ms.kf_ur.at[slot].set(ur_new))

@@ -24,7 +24,6 @@ def save_map(path: str, tracker) -> None:
               for f in dataclasses.fields(ms)}
     arrays["_n_kf"] = np.asarray(tracker.n_kf)
     arrays["_ref_kf"] = np.asarray(tracker.ref_kf)
-    arrays["_mp_alloc"] = tracker.mp_alloc
     arrays["_last_kf_frame_id"] = np.asarray(tracker.last_kf_frame_id)
     np.savez_compressed(path, **arrays)
 
@@ -37,7 +36,6 @@ def load_map(path: str, tracker) -> None:
     tracker.ms = MapState(**fields)
     tracker.n_kf = int(z["_n_kf"])
     tracker.ref_kf = int(z["_ref_kf"])
-    tracker.mp_alloc = z["_mp_alloc"]
     tracker.last_kf_frame_id = int(z["_last_kf_frame_id"])
     # slot bookkeeping derived from the mask (older checkpoints may have
     # been saved before slot recycling existed)
@@ -48,9 +46,9 @@ def load_map(path: str, tracker) -> None:
     tracker.n_kf = len(alive)
     # capacities may differ from the constructing config (growth)
     tracker.cfg.max_keyframes = int(mask.shape[0])
-    tracker.cfg.max_map_points = int(tracker.mp_alloc.shape[0])
+    tracker.cfg.max_map_points = int(tracker.ms.mp_mask.shape[0])
     from ygz_tpu.pipeline import tracking
     tracker.state = tracking.LOST if tracker.n_kf > 0 \
         else tracking.NOT_INITIALIZED
-    tracker.direct_cache = None
+    tracker.direct_cache = False
     tracker.velocity = None

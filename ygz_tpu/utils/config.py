@@ -68,6 +68,18 @@ class SlamConfig:
     # detection grid
     detect_cell: int = 32
     detect_per_cell: int = 4
+    # minimum frame gap between keyframe insertions. The reference gates
+    # inserts on LocalMapping being idle (bLocalMappingIdle,
+    # /root/reference/src/Tracking.cc:1418-1439) — with its ~50-100 ms
+    # mapping step at dataset frame rates that amounts to a few-frame
+    # spacing; None resolves to max(2, fps/5) (0.2 s).
+    kf_min_gap: Optional[int] = None
+
+    @property
+    def kf_min_gap_frames(self) -> int:
+        if self.kf_min_gap is not None:
+            return self.kf_min_gap
+        return max(2, int(self.fps) // 5)
 
     @property
     def reloc_accept(self) -> int:
