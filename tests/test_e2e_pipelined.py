@@ -20,8 +20,10 @@ import synthetic
 from test_e2e_mono import small_config
 
 
-def _run(pipelined, corrupt=(), n_frames=50, depth=1):
+def _run(pipelined, corrupt=(), n_frames=50, depth=1, fps=None):
     cfg = small_config()
+    if fps is not None:
+        cfg.fps = fps
     tex = synthetic.make_texture(0)
     traj_gt = synthetic.orbit_trajectory(n_frames)
     sys_ = System(cfg, use_loop_closing=False, pipelined=pipelined,
@@ -95,10 +97,13 @@ class TestPipelinedFailureRecovery:
         # corrupt AFTER the map has >5 keyframes: with <=5 the reference
         # auto-resets instead of relocalizing (Tracking.cc:619-627, our
         # System._maybe_auto_reset) and the wiped trajectory would make
-        # the lost-record assertion vacuous
+        # the lost-record assertion vacuous. fps=5 doubles the long-gap
+        # KF cadence so the 5-KF bar is crossed well before frame 38
+        # (the reference-faithful 0.9*nRefMatches(minObs=3) weak trigger
+        # fires far less often than the old all-bound-features one).
         corrupt = {38, 39}
         cfg, s, traj_gt, states = _run(pipelined=True, corrupt=corrupt,
-                                       n_frames=55)
+                                       n_frames=55, fps=5.0)
         tr = s.tracker
         assert tr.state == tracking.OK, "never recovered after corruption"
         lost_ids = {r["frame_id"] for r in tr.trajectory if r.get("lost")}
@@ -141,7 +146,7 @@ class TestDeepPipeline:
     def test_depth4_corrupt_recovery(self):
         corrupt = {38, 39}
         cfg, s, traj_gt, states = _run(pipelined=True, corrupt=corrupt,
-                                       n_frames=55, depth=4)
+                                       n_frames=55, depth=4, fps=5.0)
         tr = s.tracker
         assert tr.state == tracking.OK, "never recovered after corruption"
         lost_ids = {r["frame_id"] for r in tr.trajectory if r.get("lost")}

@@ -83,10 +83,14 @@ def match_descriptors(desc_a, desc_b, mask_a, mask_b,
     if window_mask is not None:
         feas = feas & window_mask
     d = jnp.where(feas, dist, 10_000)
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    best_idx = idx2[..., 0]
-    d1 = -neg2[..., 0]
-    d2 = -neg2[..., 1].astype(jnp.float32)
+    # two-pass argmin instead of top_k(2): top_k lowers to a sort-based
+    # kernel on TPU (~4x slower here; measured 7.2 vs 1.9 ms at
+    # [20, 1000, 1000] in the triangulation search)
+    best_idx = jnp.argmin(d, axis=-1)
+    d1 = jnp.take_along_axis(d, best_idx[..., None], -1)[..., 0]
+    n = d.shape[-1]
+    d_no1 = jnp.where(jax.nn.one_hot(best_idx, n, dtype=bool), 10_000, d)
+    d2 = jnp.min(d_no1, axis=-1).astype(jnp.float32)
     ok = (d1 <= max_dist) & mask_a
     if ratio < 1.0:
         ok = ok & (d1.astype(jnp.float32) <= ratio * d2)

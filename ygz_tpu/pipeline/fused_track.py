@@ -39,6 +39,9 @@ B_N_HIT = 2      # direct local-map hits
 B_N_IN = 3       # pose-opt inliers
 B_REF_OBS = 4    # bound features in the reference KF (keyframe policy)
 B_OK = 5         # full-path success (all gates)
+B_REF_OBS3 = 6   # ref-KF features whose point has >=3 observations —
+                 # the reference's nRefMatches = TrackedMapPoints(minObs=3)
+                 # (/root/reference/src/Tracking.cc:1353-1358)
 
 
 class FusedStepOut(NamedTuple):
@@ -115,15 +118,18 @@ def fused_direct_step(ms, last_pyr, last_uv, last_mp_idx, last_feat_mask,
     velocity_new = lie.se3_compose(T, lie.se3_inverse(T_last))
     T_ref = {"q": ms.kf_q[ref_kf], "t": ms.kf_t[ref_kf]}
     T_c_ref = lie.se3_compose(T, lie.se3_inverse(T_ref))
-    ref_obs = jnp.sum(((ms.kf_mp_idx[ref_kf] >= 0)
-                       & ms.kf_feat_mask[ref_kf]).astype(jnp.int32))
+    ref_row = ms.kf_mp_idx[ref_kf]
+    ref_bound = (ref_row >= 0) & ms.kf_feat_mask[ref_kf]
+    ref_obs = jnp.sum(ref_bound.astype(jnp.int32))
+    ref_obs3 = jnp.sum((ref_bound & (ms.mp_obs_count[
+        jnp.maximum(ref_row, 0)] >= 3)).astype(jnp.int32))
 
     ok = motion_ok & (gate1 >= 30) & (n_in >= 30)
     bundle = jnp.stack([
         gate1.astype(jnp.float32), motion_ok.astype(jnp.float32),
         n_hit.astype(jnp.float32), n_in.astype(jnp.float32),
         ref_obs.astype(jnp.float32), ok.astype(jnp.float32),
-        jnp.float32(0), jnp.float32(0)])
+        ref_obs3.astype(jnp.float32), jnp.float32(0)])
     return FusedStepOut(
         T_cw=T, T_sa=T_sa, velocity=velocity_new, T_c_ref=T_c_ref,
         fr_uv=fr_uv, fr_level=fr_level, fr_feat_mask=fr_feat_mask,

@@ -117,19 +117,48 @@ def _score_h(H, uv1, uv2, mask):
 
 
 def triangulate(P1, P2, uv1, uv2):
-    """Batched linear (DLT) two-view triangulation.
+    """Batched linear two-view triangulation (inhomogeneous DLT).
 
-    P1, P2: [3, 4] projection matrices; uv: [N, 2]. Returns [N, 3]."""
+    P1, P2: [3, 4] projection matrices; uv: [N, 2]. Returns [N, 3].
+
+    Solves the 4x3 system A[:, :3] X = -A[:, 3] by 3x3 normal equations
+    with a closed-form adjugate inverse instead of the homogeneous 4x4
+    SVD: the SVD was the single most expensive op in the whole mapping
+    step on TPU (121 of 130 ms — TPU SVD is an iterative one-sided
+    Jacobi), the closed form is ~60x cheaper. The inhomogeneous form
+    fixes w=1, which is ill-posed only for points at infinity — those
+    produce huge/non-finite X here and are rejected by the callers'
+    depth/parallax/chi2 gates (same gates the reference applies,
+    /root/reference/src/LocalMapping.cc:1068-1200)."""
     A = jnp.stack([
         uv1[:, 0, None] * P1[2] - P1[0],
         uv1[:, 1, None] * P1[2] - P1[1],
         uv2[:, 0, None] * P2[2] - P2[0],
         uv2[:, 1, None] * P2[2] - P2[1],
     ], axis=1)  # [N, 4, 4]
-    _, _, vt = jnp.linalg.svd(A)
-    X = vt[:, -1, :]
-    w = X[:, 3]
-    return X[:, :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[:, None]
+    M = A[:, :, :3]
+    b = -A[:, :, 3]
+    AtA = jnp.einsum("nij,nik->njk", M, M)
+    Atb = jnp.einsum("nij,ni->nj", M, b)
+    # closed-form 3x3 inverse via adjugate (no LU, no iteration)
+    a = AtA
+    c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
+    c01 = a[:, 0, 2] * a[:, 2, 1] - a[:, 0, 1] * a[:, 2, 2]
+    c02 = a[:, 0, 1] * a[:, 1, 2] - a[:, 0, 2] * a[:, 1, 1]
+    c10 = a[:, 1, 2] * a[:, 2, 0] - a[:, 1, 0] * a[:, 2, 2]
+    c11 = a[:, 0, 0] * a[:, 2, 2] - a[:, 0, 2] * a[:, 2, 0]
+    c12 = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
+    c20 = a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]
+    c21 = a[:, 0, 1] * a[:, 2, 0] - a[:, 0, 0] * a[:, 2, 1]
+    c22 = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    det = a[:, 0, 0] * c00 + a[:, 0, 1] * c10 + a[:, 0, 2] * c20
+    adj = jnp.stack([jnp.stack([c00, c01, c02], -1),
+                     jnp.stack([c10, c11, c12], -1),
+                     jnp.stack([c20, c21, c22], -1)], -2)  # [N, 3, 3]
+    inv_det = jnp.where(jnp.abs(det) < 1e-18, 0.0, 1.0 / det)
+    X = jnp.einsum("nij,nj->ni", adj, Atb) * inv_det[:, None]
+    # degenerate systems -> non-finite sentinel (rejected by gates)
+    return jnp.where((jnp.abs(det) < 1e-18)[:, None], jnp.inf, X)
 
 
 def _check_rt(R, t, uv1, uv2, mask, K, th2=4.0):

@@ -53,7 +53,15 @@ from ygz_tpu.utils.config import SlamConfig
 RECENT_CAP = 4096      # device ring of recently created points
 WINDOW_FREE = 16       # local-BA free window (covisible top-15 + new KF)
 WINDOW_KF_CAP = 32     # free window + fixed observer ring
-LOCAL_MP_CAP = 4096    # local-BA point capacity & reverse-fuse candidates
+LOCAL_MP_CAP = 4096    # reverse-fuse candidate capacity (and the sharded
+                       # multi-chip BA path's point capacity)
+BA_MP_CAP = 2048       # single-chip local-BA point capacity: the W-scatter,
+                       # Hpp and Schur-reduction costs scale with it, and a
+                       # 15-KF covisible window holds well under 2k distinct
+                       # points in practice (points beyond the cap keep
+                       # their positions that round; they are re-eligible
+                       # next KF because _compact is deterministic over the
+                       # changing member set)
 
 # stats bundle layout (float32[16]) — read back at the pipeline drain
 S_VICTIM = 0       # culled KF slot (-1 none)
@@ -238,9 +246,12 @@ def cull_and_triangulate(ms, ring_ids, ring_born, head, kf_count, slot,
         good = good & ok_pair & bl_ok
         return pos, good, res.idx
 
-    # lax.map sequences the pairs (bounded memory: one [N, N] Hamming/
-    # epipolar matrix at a time instead of [P, N, N])
-    X, good, idx2 = jax.lax.map(pair_fn, neighbors)
+    # vmap over all neighbor pairs at once: the per-pair programs are
+    # small ([N, N] Hamming + top-k), and sequencing them (lax.map) left
+    # the device underutilized — batched, the whole triangulation search
+    # is one [P, N, N] pass (~80 MB transient at P=20, N=1000; measured
+    # 100 ms -> ~35 ms on v5e)
+    X, good, idx2 = jax.vmap(pair_fn)(neighbors)
 
     # first-good-pair-wins == the reference's sequential consumption of
     # free features (neighbors are in descending covisibility order)
@@ -449,7 +460,7 @@ def local_ba_step(ms, slot, cfg: SlamConfig):
         ms.mp_mask[jnp.maximum(rows, 0)]
     member = jnp.zeros((M + 1,), bool).at[
         jnp.where(rvalid, rows, M)].set(True, mode="drop")[:M]
-    lp, mp_mask_l = _compact(member, LOCAL_MP_CAP)
+    lp, mp_mask_l = _compact(member, BA_MP_CAP)
     n_pts = jnp.sum(mp_mask_l.astype(jnp.int32))
 
     obs_kf = mapstate.observers_of(ms, member)

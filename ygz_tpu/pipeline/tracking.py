@@ -106,6 +106,7 @@ class Tracker:
         # missed deferred (pipelined) KFs and double-fired on others
         self.new_kf_slots: List[int] = []
         self._ref_obs_cache: Optional[int] = None
+        self._ref_obs3_cache: Optional[int] = None
         self._cand_j = None
         self._cand_valid = None
         self.scales = jnp.asarray(cfg.scale_factors)
@@ -347,6 +348,7 @@ class Tracker:
         # success: commit pfr's record and late decisions
         self.last_inliers = int(b[fused_track.B_N_IN])
         self._ref_obs_cache = int(b[fused_track.B_REF_OBS])
+        self._ref_obs3_cache = int(b[fused_track.B_REF_OBS3])
         self._record_frame(pfr)
         self._last_good = pfr
         if b[fused_track.B_N_HIT] < self.cfg.cache_features:
@@ -834,6 +836,7 @@ class Tracker:
             self.ms, mp_visible=out.mp_visible, mp_found=out.mp_found)
         self.last_inliers = int(bundle[fused_track.B_N_IN])
         self._ref_obs_cache = int(bundle[fused_track.B_REF_OBS])
+        self._ref_obs3_cache = int(bundle[fused_track.B_REF_OBS3])
         self.state = OK
         self.direct_failed = False
         return True
@@ -1115,14 +1118,22 @@ class Tracker:
             return False
         frames_since = fr.frame_id - self.last_kf_frame_id
         if self._ref_obs_cache is None:
-            self._ref_obs_cache = int(
-                jnp.sum((self.ms.kf_mp_idx[self.ref_kf] >= 0)
-                        & self.ms.kf_feat_mask[self.ref_kf]))
+            row = self.ms.kf_mp_idx[self.ref_kf]
+            bound = (row >= 0) & self.ms.kf_feat_mask[self.ref_kf]
+            obs3 = bound & (self.ms.mp_obs_count[jnp.maximum(row, 0)] >= 3)
+            both = np.asarray(jnp.stack([jnp.sum(bound), jnp.sum(obs3)]))
+            self._ref_obs_cache = int(both[0])
+            self._ref_obs3_cache = int(both[1])
         ref_obs = self._ref_obs_cache
-        # reference uses mnMatchesInliers < nRefMatches*0.9 (Tracking.cc:
-        # 1420-1428); react early so tracked-point count never decays to
-        # the failure floor between keyframes
-        weak = self.last_inliers < 0.8 * ref_obs
+        # the reference's weak trigger is mnMatchesInliers <
+        # nRefMatches*0.9 with nRefMatches = ref KF's points having >=3
+        # observations (/root/reference/src/Tracking.cc:1353-1358,
+        # 1420-1428) — comparing inliers against ALL bound features
+        # (several hundred more) made every frame "weak" and spammed
+        # keyframes at the kf_min_gap floor
+        ref_obs3 = self._ref_obs3_cache \
+            if self._ref_obs3_cache is not None else ref_obs
+        weak = self.last_inliers < 0.9 * min(ref_obs3, ref_obs)
         long_gap = frames_since >= max(3, int(cfg.fps))
         # `weak` alone may fire every other frame (direct-cache inliers sit
         # well below the ref KF's bound-feature count); the reference
@@ -1211,6 +1222,7 @@ class Tracker:
         if self.mapper is not None:
             self.mapper.on_new_keyframe(self, slot, fr)
         self._ref_obs_cache = None
+        self._ref_obs3_cache = None
         fr.T_c_ref = None  # ref KF changed; recompute in track()
         # frames already enqueued in the pipeline cached their T_c_ref
         # against the PREVIOUS ref KF — clear so _record_frame
