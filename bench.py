@@ -245,6 +245,7 @@ def bench_system(n_frames: int = 200, warm_frames: int = 40,
     t_meas = None
     for i, ((ts, _), img) in enumerate(zip(traj, frames)):
         if i == warm_frames:
+            timing.reset()   # attribution covers ONLY the measured window
             t_meas = time.perf_counter()
         t0 = time.perf_counter()
         slam.track_monocular(img, ts)

@@ -38,6 +38,16 @@ def mono_loop_config():
     cfg = loop_config()
     # mono: no stereo baseline, no depth — Sim3 scale must stay free
     cfg.camera = synthetic.CAM
+    # denser KF cadence: the consistency check needs >= 4 consecutive
+    # detecting KF events over the revisit segment (reference
+    # mnCovisibilityConsistencyTh=3, counters starting at 0), BEFORE
+    # direct tracking re-finds the old points and covisibility excludes
+    # the loop candidates. The r4 reference-faithful weak trigger
+    # (inliers < 0.9 * nRefMatches) goes quiet on this noise-free
+    # synthetic world — on real data drift keeps it firing — so the
+    # fixture leans on the reference's OTHER trigger leg: the c1a
+    # max-gap (mMaxFrames = fps, Tracking.cc:1389), lowered via fps.
+    cfg.fps = 5.0
     return cfg
 
 
@@ -128,7 +138,10 @@ class TestEndToEndLoopMono:
         # measured independently against ground truth
         drift = local_scale(cur) / local_scale(loop)
         s = lc.last_sim3_scale
-        assert abs(np.log(s) - np.log(drift)) < np.log(1.2), \
+        # x1.1 agreement band: tightened from x1.2 once the Sim3 estimate
+        # stopped being the raw RANSAC Horn (r4: SearchBySim3 +
+        # OptimizeSim3 refinement, reference LoopClosing.cc:291-320)
+        assert abs(np.log(s) - np.log(drift)) < np.log(1.1), \
             f"sim3 scale {s:.3f} vs measured drift {drift:.3f}"
 
     def test_accuracy_improves_over_precorrection(self, mono_loop_run):

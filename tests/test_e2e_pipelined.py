@@ -151,3 +151,28 @@ class TestDeepPipeline:
         assert tr.state == tracking.OK, "never recovered after corruption"
         lost_ids = {r["frame_id"] for r in tr.trajectory if r.get("lost")}
         assert lost_ids & corrupt, "corrupt frames not detected as lost"
+
+    def test_dropped_chain_rolls_back_counters(self):
+        """Optimistic mp_visible/mp_found increments of DROPPED pipelined
+        frames must be reverted (the culling heuristic feeds on the
+        found/visible ratio): a corrupt-frame pipelined run's counters
+        must match a sync run seeing the same good frames. The sync path
+        never applies a failed frame's counters, so it is the oracle."""
+        corrupt = {38, 39}
+        _, s_sync, _, _ = _run(pipelined=False, corrupt=corrupt,
+                               n_frames=55, fps=5.0)
+        _, s_pipe, _, _ = _run(pipelined=True, corrupt=corrupt,
+                               n_frames=55, depth=4, fps=5.0)
+        v_s = np.asarray(s_sync.tracker.ms.mp_visible)
+        v_p = np.asarray(s_pipe.tracker.ms.mp_visible)
+        m_s = np.asarray(s_sync.tracker.ms.mp_mask)
+        m_p = np.asarray(s_pipe.tracker.ms.mp_mask)
+        # maps are not slot-aligned across modes (drop/recover timing
+        # differs); assert on the aggregate increments, which without
+        # rollback are inflated by ~n_cache x n_dropped (hundreds)
+        tot_sync = int(v_s[m_s].sum())
+        tot_pipe = int(v_p[m_p].sum())
+        assert tot_pipe <= tot_sync * 1.35 + 50, (tot_pipe, tot_sync)
+        f_s = np.asarray(s_sync.tracker.ms.mp_found)
+        f_p = np.asarray(s_pipe.tracker.ms.mp_found)
+        assert int(f_p[m_p].sum()) <= int(f_s[m_s].sum()) * 1.35 + 50

@@ -51,6 +51,105 @@ class TestSim3Solver:
         np.testing.assert_allclose(float(S["s"]), 2.2, rtol=0.02)
 
 
+class TestOptimizeSim3:
+    def _setup(self, rng, N=80, n_out=16, noise_px=0.7):
+        """Two cameras seeing the same cloud; estimated S12 is perturbed;
+        pixel observations are noisy; n_out correspondences are gross
+        outliers (wrong pairing)."""
+        fx = fy = 400.0
+        cx, cy = 320.0, 240.0
+        X2 = jnp.asarray(
+            (rng.randn(N, 3) * np.array([1.5, 1.0, 0.8]) +
+             np.array([0, 0, 6.0])).astype(np.float32))
+        S_true = {"q": lie.so3_exp(jnp.array([0.10, -0.06, 0.15])),
+                  "t": jnp.array([0.5, -0.2, 0.4]), "s": jnp.asarray(1.6)}
+        X1 = lie.sim3_apply(S_true, X2)
+
+        def proj(P):
+            return jnp.stack([fx * P[:, 0] / P[:, 2] + cx,
+                              fy * P[:, 1] / P[:, 2] + cy], -1)
+        uv1 = proj(X1) + rng.randn(N, 2).astype(np.float32) * noise_px
+        uv2 = proj(X2) + rng.randn(N, 2).astype(np.float32) * noise_px
+        # gross outliers: shuffle the pairing of the first n_out rows
+        X2o = np.asarray(X2).copy()
+        uv2o = np.asarray(uv2).copy()
+        perm = rng.permutation(n_out)
+        X2o[:n_out] = X2o[perm]
+        uv2o[:n_out] = uv2o[perm]
+        # noisy initial estimate (what a minimal-3-point Horn would give)
+        dS = {"q": lie.so3_exp(jnp.array([0.02, 0.015, -0.02])),
+              "t": jnp.array([0.06, -0.04, 0.05]), "s": jnp.asarray(1.07)}
+        S0 = lie.sim3_compose(dS, S_true)
+        return (S_true, S0, X1, jnp.asarray(X2o), uv1, jnp.asarray(uv2o),
+                fx, fy, cx, cy)
+
+    def test_refines_noisy_sim3_with_outliers(self):
+        """VERDICT r3 #3 acceptance: noisy synthetic Sim3, 20% outliers."""
+        rng = np.random.RandomState(7)
+        (S_true, S0, X1, X2, uv1, uv2, fx, fy, cx, cy) = self._setup(rng)
+        N = X1.shape[0]
+        ones = jnp.ones((N,))
+        S, inl, n = sim3solver.optimize_sim3(
+            S0, X1, X2, uv1, uv2, ones, ones, jnp.ones((N,), bool),
+            fx, fy, cx, cy)
+        inl = np.asarray(inl)
+        assert int(n) >= 50
+        assert inl[:16].sum() <= 2, "gross outliers must be rejected"
+        # the refined estimate lands on the truth, much closer than S0
+        err_s = abs(float(S["s"]) - float(S_true["s"]))
+        err_s0 = abs(float(S0["s"]) - float(S_true["s"]))
+        assert err_s < 0.01 and err_s < err_s0 / 5
+        err_t = float(jnp.linalg.norm(S["t"] - S_true["t"]))
+        assert err_t < 0.02
+
+    def test_fix_scale_pins_scale(self):
+        rng = np.random.RandomState(8)
+        (S_true, S0, X1, X2, uv1, uv2, fx, fy, cx, cy) = \
+            self._setup(rng, n_out=0)
+        N = X1.shape[0]
+        ones = jnp.ones((N,))
+        S0 = dict(S0, s=jnp.asarray(1.0))
+        S, _, n = sim3solver.optimize_sim3(
+            S0, X1, X2, uv1, uv2, ones, ones, jnp.ones((N,), bool),
+            fx, fy, cx, cy, fix_scale=True)
+        np.testing.assert_allclose(float(S["s"]), 1.0, atol=1e-5)
+
+
+class TestSearchBySim3:
+    def test_mutual_agreement(self):
+        """Direction disagreements are dropped; clean mutual pairs kept."""
+        from ygz_tpu.matching import search
+        rng = np.random.RandomState(9)
+        N = 32
+        desc = jnp.asarray(rng.randint(0, 2**31, (N, 8), dtype=np.int64)
+                           .astype(np.uint32))
+        uv = jnp.asarray((rng.rand(N, 2) * 400 + 50).astype(np.float32))
+        level = jnp.zeros((N,), jnp.int32)
+        mask = jnp.ones((N,), bool)
+        rad = jnp.full((N,), 6.0)
+        pred = jnp.zeros((N,), jnp.int32)
+        # KF2 features = same descriptors, projections land exactly on
+        # the matching feature -> every pair should agree mutually
+        res = search.search_by_sim3(
+            desc, uv, rad, pred, mask,
+            desc, uv, rad, pred, mask,
+            desc, uv, level, mask,
+            desc, uv, level, mask)
+        assert bool(jnp.all(res.mask))
+        np.testing.assert_array_equal(np.asarray(res.idx), np.arange(N))
+        # break direction B for half the points: their projection into
+        # image 1 is pushed out of every window -> mutual check drops them
+        uv_off = uv.at[: N // 2].add(1e4)
+        res2 = search.search_by_sim3(
+            desc, uv, rad, pred, mask,
+            desc, uv_off, rad, pred, mask,
+            desc, uv, level, mask,
+            desc, uv, level, mask)
+        m = np.asarray(res2.mask)
+        assert not m[: N // 2].any()
+        assert m[N // 2:].all()
+
+
 class TestPoseGraph:
     def _chain(self, n=12, drift=0.02, seed=4):
         """Ground-truth circular trajectory; estimated poses accumulate

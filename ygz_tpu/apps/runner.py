@@ -70,8 +70,11 @@ def config_overrides(args) -> dict:
 def load_vocab(path: str, cfg):
     from ygz_tpu.matching import vocabulary as vm
     if path and path.lower() not in ("none", "-"):
+        # same text/binary dispatch as the reference (System.cc:136-139)
         if path.endswith(".txt"):
             return vm.load_dbow_text(path)
+        if path.endswith(".bin"):
+            return vm.load_dbow_binary(path)
         import numpy as np
         import jax.numpy as jnp
         z = np.load(path)

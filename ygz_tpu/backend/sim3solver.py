@@ -51,6 +51,85 @@ def horn_sim3(X1, X2, w=None, fix_scale: bool = False):
     return {"q": lie.matrix_to_quat(R), "t": t, "s": s}
 
 
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def optimize_sim3(S12, X1, X2, uv1, uv2, inv_s2_1, inv_s2_2, mask,
+                  fx, fy, cx, cy, fix_scale: bool = False,
+                  th2: float = 10.0):
+    """Iterative refinement of a relative Sim3 against bidirectional
+    reprojection (reference Optimizer::OptimizeSim3,
+    /root/reference/src/Optimizer.cc:2409-2594): the only free variable
+    is S12; the 3D points are fixed in their own camera frames. Edge i
+    measures project(S12 * X2_i) vs uv1_i and project(S12^-1 * X1_i) vs
+    uv2_i, Huber(delta = sqrt(th2)) on the whitened residual. Two
+    phases, as the reference runs them: 5 GN iterations with every
+    masked edge, drop edges with chi2 > th2 in EITHER direction, then
+    10 more iterations on the survivors; inliers recount at the end.
+
+    X1, X2: [N, 3] matched points in cam1 / cam2 coordinates.
+    uv1, uv2: [N, 2] pixel observations in KF1 / KF2.
+    inv_s2_1/2: [N] per-observation inverse level variance.
+    Returns (S12_refined, inlier_mask [N], n_inliers).
+    """
+    dtype = X1.dtype
+    # tangent mask: [omega(3), upsilon(3), sigma(1)]; metric sensors pin
+    # the scale (reference bFixScale / VertexSim3Expmap::_fix_scale)
+    free = jnp.ones((7,), dtype)
+    if fix_scale:
+        free = free.at[6].set(0.0)
+
+    def residuals(delta, S):
+        S_new = lie.sim3_compose(lie.sim3_exp(delta * free), S)
+        x1h = lie.sim3_apply(S_new, X2)                  # cam2 -> cam1
+        r12 = jnp.stack([fx * x1h[:, 0] / jnp.maximum(x1h[:, 2], 1e-6) + cx,
+                         fy * x1h[:, 1] / jnp.maximum(x1h[:, 2], 1e-6) + cy],
+                        -1) - uv1
+        x2h = lie.sim3_apply(lie.sim3_inverse(S_new), X1)  # cam1 -> cam2
+        r21 = jnp.stack([fx * x2h[:, 0] / jnp.maximum(x2h[:, 2], 1e-6) + cx,
+                         fy * x2h[:, 1] / jnp.maximum(x2h[:, 2], 1e-6) + cy],
+                        -1) - uv2
+        return jnp.concatenate([r12, r21], -1)           # [N, 4]
+
+    def chi2(S):
+        r = residuals(jnp.zeros((7,), dtype), S)
+        c12 = jnp.sum(r[:, :2] ** 2, -1) * inv_s2_1
+        c21 = jnp.sum(r[:, 2:] ** 2, -1) * inv_s2_2
+        return c12, c21
+
+    def gn_iter(S, active, robust):
+        r = residuals(jnp.zeros((7,), dtype), S)
+        J = jax.jacfwd(residuals)(jnp.zeros((7,), dtype), S)  # [N, 4, 7]
+        w = jnp.concatenate([jnp.repeat(inv_s2_1[:, None], 2, 1),
+                             jnp.repeat(inv_s2_2[:, None], 2, 1)], -1)
+        if robust:
+            # Huber on the per-direction whitened chi2
+            c12 = jnp.sum(r[:, :2] ** 2, -1) * inv_s2_1
+            c21 = jnp.sum(r[:, 2:] ** 2, -1) * inv_s2_2
+            h12 = jnp.minimum(1.0, jnp.sqrt(th2 / jnp.maximum(c12, 1e-12)))
+            h21 = jnp.minimum(1.0, jnp.sqrt(th2 / jnp.maximum(c21, 1e-12)))
+            w = w * jnp.concatenate([jnp.repeat(h12[:, None], 2, 1),
+                                     jnp.repeat(h21[:, None], 2, 1)], -1)
+        w = w * active[:, None]
+        H = jnp.einsum("nri,nr,nrj->ij", J, w, J)
+        b = -jnp.einsum("nri,nr,nr->i", J, w, r)
+        H = H + 1e-6 * jnp.eye(7, dtype=dtype)
+        if fix_scale:
+            H = H.at[6, 6].add(1e12)
+        delta = jnp.linalg.solve(H, b) * free
+        return lie.sim3_compose(lie.sim3_exp(delta), S)
+
+    S = {"q": S12["q"].astype(dtype), "t": S12["t"].astype(dtype),
+         "s": S12["s"].astype(dtype)}
+    active = mask.astype(dtype)
+    S = jax.lax.fori_loop(0, 5, lambda _, s: gn_iter(s, active, True), S)
+    c12, c21 = chi2(S)
+    inl = mask & (c12 <= th2) & (c21 <= th2)
+    active = inl.astype(dtype)
+    S = jax.lax.fori_loop(0, 10, lambda _, s: gn_iter(s, active, True), S)
+    c12, c21 = chi2(S)
+    inl = inl & (c12 <= th2) & (c21 <= th2)
+    return S, inl, jnp.sum(inl.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("fix_scale", "n_hyp"))
 def ransac_sim3(X1, X2, mask, fix_scale: bool = False, seed: int = 0,
                 n_hyp: int = 128, inlier_th: float = 0.05):

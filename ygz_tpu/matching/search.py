@@ -195,6 +195,33 @@ def search_for_triangulation(desc1, uv1, angle1, mask1,
     return res
 
 
+def search_by_sim3(desc1, uv1_in2, rad1, pred1, mask1,
+                   desc2, uv2_in1, rad2, pred2, mask2,
+                   kf1_desc, kf1_uv, kf1_level, kf1_mask,
+                   kf2_desc, kf2_uv, kf2_level, kf2_mask) -> MatchResult:
+    """Mutual Sim3-guided re-matching between two loop keyframes
+    (reference SearchBySim3, /root/reference/src/ORBmatcher.cc:1006-1112):
+    KF1's bound map points project through S21 into KF2's image and
+    window-match its features (vnMatch1); KF2's points project through
+    S12 into KF1's image (vnMatch2); a pair survives only if the two
+    directions agree (vnMatch2[vnMatch1[i1]] == i1). The caller computes
+    the projections / radii / predicted levels (it owns the Sim3 and the
+    scale-invariance data) and masks out already-matched features.
+
+    Returns a MatchResult over KF1 features: idx = matched KF2 feature.
+    """
+    resA = search_by_projection(desc1, uv1_in2, rad1, pred1, mask1,
+                                kf2_desc, kf2_uv, kf2_level, kf2_mask,
+                                max_dist=TH_HIGH, ratio=1.0, mutual=False)
+    resB = search_by_projection(desc2, uv2_in1, rad2, pred2, mask2,
+                                kf1_desc, kf1_uv, kf1_level, kf1_mask,
+                                max_dist=TH_HIGH, ratio=1.0, mutual=False)
+    n1 = desc1.shape[0]
+    agree = resA.mask & resB.mask[resA.idx] & \
+        (resB.idx[resA.idx] == jnp.arange(n1, dtype=resB.idx.dtype))
+    return MatchResult(idx=resA.idx, dist=resA.dist, mask=agree)
+
+
 def fuse_candidates(mp_desc, mp_uv_proj, mp_radius, mp_pred_level, mp_mask,
                     kp_desc, kp_uv, kp_level, kp_mask,
                     max_dist: int = TH_LOW) -> MatchResult:

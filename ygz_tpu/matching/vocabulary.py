@@ -160,13 +160,11 @@ def score_against_database(query_vec, db_vecs, db_mask):
     return jnp.where(db_mask, s, -1.0)
 
 
-def load_dbow_text(path: str) -> Vocabulary:
-    """Load an ORB-SLAM-format text vocabulary (`k L scoring weighting`
-    header, then one node per line: `parent is-leaf byte0..byte31 weight`,
-    node ids implicit in line order starting at 1, root = 0). Only usable
-    when the descriptor pattern matches the one the vocabulary was trained
-    on; drop-in parity with the reference's ORBvoc.txt loader
-    (/root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1362-1447).
+def _build_dense(records, k: int, L: int) -> Vocabulary:
+    """Build the dense complete-k-ary layout from DBoW2 node records
+    `(parent_id, is_leaf, desc_bytes [32] uint8, weight)` in node-id
+    order (ids implicit, starting at 1; root = 0; parents precede
+    children — both DBoW2 savers write m_nodes[1..] in index order).
 
     Real DBoW2 trees are NOT complete k-ary trees: k-means can produce
     fewer than k clusters, so interior nodes may have missing children and
@@ -175,50 +173,119 @@ def load_dbow_text(path: str) -> Vocabulary:
     them infinite distance), and an early leaf is propagated down a
     single-child chain of copies so every descent terminates at a unique
     level-L word slot carrying the leaf's weight."""
+    n_words = k ** L
+    n_nodes = sum(k ** l for l in range(1, L + 1))
+    node_desc = np.zeros((n_nodes, 8), np.uint32)
+    node_valid = np.zeros((n_nodes,), bool)
+    weights = np.zeros((n_words,), np.float32)
+    children_count: dict = {}
+    pos_of = {0: (0, 0)}  # node id -> (level, index-in-level)
+    for line_id, (parent, is_leaf, by, weight) in enumerate(records, 1):
+        plevel, pindex = pos_of[parent]
+        slot = children_count.get(parent, 0)
+        if slot >= k or plevel >= L:
+            raise ValueError(
+                f"malformed vocabulary: node {line_id} overflows "
+                f"k={k}/L={L} under parent {parent}")
+        children_count[parent] = slot + 1
+        level, index = plevel + 1, pindex * k + slot
+        pos_of[line_id] = (level, index)
+        off = sum(k ** l for l in range(1, level))
+        node_desc[off + index] = by.view(np.uint32)
+        node_valid[off + index] = True
+        if is_leaf:  # word node, possibly above level L
+            lvl, idx = level, index
+            while lvl < L:
+                lvl, idx = lvl + 1, idx * k
+                o = sum(k ** l for l in range(1, lvl))
+                node_desc[o + idx] = by.view(np.uint32)
+                node_valid[o + idx] = True
+            weights[idx] = weight
+    return Vocabulary(k=k, L=L, node_desc=jnp.asarray(node_desc),
+                      word_idf=jnp.asarray(weights),
+                      node_valid=jnp.asarray(node_valid))
+
+
+def load_dbow_text(path: str) -> Vocabulary:
+    """Load an ORB-SLAM-format text vocabulary (`k L scoring weighting`
+    header, then one node per line: `parent is-leaf byte0..byte31 weight`,
+    node ids implicit in line order starting at 1, root = 0). Only usable
+    when the descriptor pattern matches the one the vocabulary was trained
+    on; drop-in parity with the reference's ORBvoc.txt loader
+    (/root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1362-1447)."""
+    records = []
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
-        n_words = k ** L
-        n_nodes = sum(k ** l for l in range(1, L + 1))
-        node_desc = np.zeros((n_nodes, 8), np.uint32)
-        node_valid = np.zeros((n_nodes,), bool)
-        weights = np.zeros((n_words,), np.float32)
-        # nodes appear in id order and parents precede children
-        # (saveToTextFile writes m_nodes[1..] in index order); rebuild
-        # dense (level, index) positions by walking parent pointers
-        children_count: dict = {}
-        pos_of = {0: (0, 0)}  # node line-id -> (level, index-in-level)
-        line_id = 0
         for line in f:
             parts = line.split()
             if len(parts) < 35:
                 continue
-            line_id += 1
-            parent = int(parts[0])
-            plevel, pindex = pos_of[parent]
-            slot = children_count.get(parent, 0)
-            if slot >= k or plevel >= L:
-                raise ValueError(
-                    f"malformed vocabulary: node {line_id} overflows "
-                    f"k={k}/L={L} under parent {parent}")
-            children_count[parent] = slot + 1
-            level, index = plevel + 1, pindex * k + slot
-            pos_of[line_id] = (level, index)
-            off = sum(k ** l for l in range(1, level))
-            by = np.array([int(x) for x in parts[2:34]], np.uint8)
-            node_desc[off + index] = by.view(np.uint32)
-            node_valid[off + index] = True
-            if int(parts[1]) == 1:  # word node, possibly above level L
-                lvl, idx = level, index
-                while lvl < L:
-                    lvl, idx = lvl + 1, idx * k
-                    o = sum(k ** l for l in range(1, lvl))
-                    node_desc[o + idx] = by.view(np.uint32)
-                    node_valid[o + idx] = True
-                weights[idx] = float(parts[34])
-    return Vocabulary(k=k, L=L, node_desc=jnp.asarray(node_desc),
-                      word_idf=jnp.asarray(weights),
-                      node_valid=jnp.asarray(node_valid))
+            records.append((int(parts[0]), int(parts[1]) == 1,
+                            np.array([int(x) for x in parts[2:34]],
+                                     np.uint8),
+                            float(parts[34])))
+    return _build_dense(records, k, L)
+
+
+def load_dbow_binary(path: str) -> Vocabulary:
+    """Load a DBoW2 binary vocabulary (the reference's ORBvoc.bin path,
+    /root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1478-1522
+    loadFromBinaryFile; System.cc:136-139 picks text/binary by have_bin).
+
+    Layout: header `u32 nb_nodes, u32 size_node, i32 k, i32 L, i32
+    scoring, i32 weighting`, then nb_nodes-1 packed records of
+    `i32 parent, u8 desc[32], f32 weight, u8 is_leaf` (size_node bytes
+    each), node ids implicit in record order starting at 1."""
+    with open(path, "rb") as f:
+        head = np.frombuffer(f.read(24), dtype="<i4")
+        nb_nodes, size_node, k, L = (int(head[0]), int(head[1]),
+                                     int(head[2]), int(head[3]))
+        if size_node != 41:
+            raise ValueError(f"unsupported node size {size_node} "
+                             "(expect 4+32+4+1 for 256-bit ORB)")
+        buf = f.read(size_node * (nb_nodes - 1))
+    raw = np.frombuffer(buf, dtype=np.uint8).reshape(-1, size_node)
+    parents = raw[:, 0:4].copy().view("<i4")[:, 0]
+    descs = raw[:, 4:36]
+    ws = raw[:, 36:40].copy().view("<f4")[:, 0]
+    leaves = raw[:, 40] != 0
+    records = [(int(parents[i]), bool(leaves[i]), descs[i], float(ws[i]))
+               for i in range(raw.shape[0])]
+    return _build_dense(records, k, L)
+
+
+def save_dbow_binary(vocab: Vocabulary, path: str) -> None:
+    """Export to the DBoW2 binary format (inverse of `load_dbow_binary`;
+    TemplatedVocabulary.h:1527-1547 saveToBinaryFile). Same node order as
+    `save_dbow_text`: level order over valid dense slots."""
+    k, L = vocab.k, vocab.L
+    desc = np.asarray(vocab.node_desc)
+    idf = np.asarray(vocab.word_idf)
+    valid = (np.asarray(vocab.node_valid) if vocab.node_valid is not None
+             else np.ones((desc.shape[0],), bool))
+    recs = []
+    line_of = {}
+    next_id = 1
+    for level in range(1, L + 1):
+        off = sum(k ** l for l in range(1, level))
+        for index in range(k ** level):
+            if not valid[off + index]:
+                continue
+            line_of[(level, index)] = next_id
+            next_id += 1
+            parent_id = 0 if level == 1 else line_of[(level - 1, index // k)]
+            is_leaf = level == L
+            w = float(idf[index]) if is_leaf else 0.0
+            rec = np.zeros((41,), np.uint8)
+            rec[0:4] = np.array([parent_id], "<i4").view(np.uint8)
+            rec[4:36] = desc[off + index].view(np.uint8)
+            rec[36:40] = np.array([w], "<f4").view(np.uint8)
+            rec[40] = 1 if is_leaf else 0
+            recs.append(rec)
+    with open(path, "wb") as f:
+        f.write(np.array([next_id, 41, k, L, 0, 0], "<i4").tobytes())
+        f.write(np.concatenate(recs).tobytes())
 
 
 def save_dbow_text(vocab: Vocabulary, path: str) -> None:

@@ -36,7 +36,6 @@ class LoopClosing:
         self.cfg = cfg
         self.consistency_th = consistency_th
         self.prev_groups: List[tuple] = []   # (set of KFs, consistency count)
-        self.group_grace = 0   # rounds an empty detection keeps groups alive
         self.last_loop_kf: int = -1000
         self.n_loops = 0
         # diagnostics of the last ACCEPTED loop (tests + tooling):
@@ -81,7 +80,10 @@ class LoopClosing:
         """BoW retrieval gated by covisible min-score + consistency groups
         (reference DetectLoop, /root/reference/src/LoopClosing.cc:104-216)."""
         ms = tracker.ms
-        if slot - self.last_loop_kf < 10 or tracker.n_kf < 12:
+        # fewer than 10 KFs in the map, or fewer than 10 since the last
+        # loop (reference: mnId < mLastLoopKFid + 10 with mLastLoopKFid=0
+        # at start, /root/reference/src/LoopClosing.cc:114-118)
+        if slot - self.last_loop_kf < 10 or tracker.n_kf < 10:
             return []
         counts = np.asarray(mapstate.covisibility_counts(ms, slot))
         covis = set(np.where(counts >= 15)[0].tolist())
@@ -107,24 +109,27 @@ class LoopClosing:
         cand_mask &= alive
         candidates = np.where(cand_mask)[0]
         if logger.isEnabledFor(10):
-            top = np.argsort(-scores)[:4]
+            top = np.argsort(-scores)[:6]
             logger.debug(
                 "loop detect @KF%d(f%d): min_score=%.3f top=%s cands=%s",
                 slot, int(ms.kf_frame_id[slot]), min_score,
                 [(int(k), round(float(scores[k]), 3),
-                  int(ms.kf_frame_id[k])) for k in top],
+                  int(ms.kf_frame_id[k]),
+                  ("dead" if not alive[k] else
+                   "covis" if k in covis else
+                   "recent" if k in recent else
+                   "low" if scores[k] < min_score else
+                   "self" if k == slot else "ok")) for k in top],
                 candidates.tolist()[:6])
         if len(candidates) == 0:
-            # one round of grace before dropping accumulated consistency:
-            # a single empty detection right before a revisit otherwise
-            # wipes the streak (the reference clears immediately;
-            # observed failure mode in the round-1 loop experiments)
-            if self.group_grace > 0:
-                self.group_grace -= 1
-            else:
-                self.prev_groups = []
+            # an empty detection wipes accumulated consistency, exactly as
+            # the reference does (mvConsistentGroups.clear(),
+            # /root/reference/src/LoopClosing.cc:141-148). The round-1..3
+            # "grace round" patch papered over a detection-cadence problem;
+            # the real fix is keyframe dwell over the revisit (the loop
+            # fixtures now keep >= 4 consecutive detecting KFs there).
+            self.prev_groups = []
             return []
-        self.group_grace = 1
 
         # consistency groups: a candidate's covisibility group must be seen
         # in `consistency_th` consecutive detections
@@ -191,6 +196,21 @@ class LoopClosing:
         logger.debug("  sim3 ransac inliers=%d", int(n_in))
         if int(n_in) < th_inl:
             return False, None, None, None
+
+        # --- Sim3 refinement stage (reference LoopClosing.cc:291-320):
+        # mutual Sim3-guided re-matching widens the correspondence set,
+        # then an iterative bidirectional-reprojection optimization
+        # replaces the raw RANSAC Horn estimate. On noisy data the Horn
+        # solution from 3 points is materially cruder than the full
+        # reprojection optimum, and the >=20-inlier gate below is only
+        # meaningful against the refined estimate.
+        match12 = np.where(np.asarray(res.mask) & np.asarray(inl & valid),
+                           np.asarray(res.idx), -1)
+        S12, match12, n_opt = self._refine_sim3(
+            tracker, slot, cand, S12, match12, v1, v2, fix_scale)
+        logger.debug("  sim3 optimize inliers=%d", int(n_opt))
+        if int(n_opt) < th_inl:
+            return False, None, None, None
         # corrected world->cam Sim3 of the current KF: S1_corrected maps
         # world through the loop KF's frame
         S_cand = lie.sim3_from_se3(T2)
@@ -203,10 +223,9 @@ class LoopClosing:
         loop_ids = self._loop_point_ids(tracker, cand)
         hit_f, hit_mp = self._project_loop_points(
             tracker, slot, S_cw, loop_ids, radius_scale=10.0)
-        # total matches: guided hits plus the Sim3 descriptor inliers
+        # total matches: guided hits plus the refined Sim3 inlier pairs
         feat_matched = set(hit_f.tolist())
-        inl_np = np.asarray(inl & valid)
-        idx1 = np.where(np.asarray(res.mask) & inl_np)[0]
+        idx1 = np.where(match12 >= 0)[0]
         feat_matched.update(idx1.tolist())
         logger.debug("  sim3 total matches=%d (guided %d)",
                      len(feat_matched), len(hit_f))
@@ -216,10 +235,81 @@ class LoopClosing:
         # matched pairs for CorrectLoop's point replacement: current-KF
         # feature -> loop map point (guided hits; plus Sim3 inlier pairs)
         matched = {int(f): int(m) for f, m in zip(hit_f, hit_mp)}
-        ids2_np = np.asarray(ids2)
+        mp2_np = np.asarray(mp2)
         for f in idx1:
-            matched.setdefault(int(f), int(ids2_np[f]))
+            matched.setdefault(int(f), int(mp2_np[match12[f]]))
         return True, S_cw, loop_ids, matched
+
+    # ------------------------------------------------------------------
+    def _refine_sim3(self, tracker, slot: int, cand: int, S12, match12,
+                     v1, v2, fix_scale: bool):
+        """Sim3 refinement between RANSAC and acceptance (reference
+        LoopClosing.cc:291-320): SearchBySim3 mutual guided re-matching
+        extends `match12` (KF1 feature -> KF2 feature, -1 = none), then
+        OptimizeSim3 refines S12 over the bidirectional reprojection of
+        the matched pairs. Returns (S12_refined, match12_inliers, n_in)."""
+        cfg = self.cfg
+        cam = cfg.camera
+        ms = tracker.ms
+        scales = jnp.asarray(tracker.scales)
+
+        def proj_gate(pts, uv_valid_mask, mp_ids):
+            """Project cam-frame points to pixels; gate on depth, image
+            bounds, and the scale-invariance band; predict level."""
+            z = jnp.maximum(pts[:, 2], 1e-6)
+            uv = jnp.stack([cam.fx * pts[:, 0] / z + cam.cx,
+                            cam.fy * pts[:, 1] / z + cam.cy], -1)
+            dist = jnp.linalg.norm(pts, axis=-1)
+            max_d = ms.mp_max_dist[mp_ids]
+            visible = uv_valid_mask & (pts[:, 2] > 0.05) & \
+                (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & \
+                (uv[:, 1] >= 0) & (uv[:, 1] < cam.height) & \
+                (dist >= 0.8 * max_d / scales[-1]) & (dist <= 1.2 * max_d)
+            pred = mapstate.predict_scale_level(
+                dist, max_d, cfg.scale_factor, cfg.n_levels)
+            radius = 7.5 * scales[pred]   # reference th=7.5, LoopClosing.cc:293
+            return uv, radius, pred, visible
+
+        ids1 = jnp.where(v1, ms.kf_mp_idx[slot], 0)
+        ids2 = jnp.where(v2, ms.kf_mp_idx[cand], 0)
+        T1 = {"q": ms.kf_q[slot], "t": ms.kf_t[slot]}
+        T2 = {"q": ms.kf_q[cand], "t": ms.kf_t[cand]}
+        X1 = lie.se3_apply(T1, ms.mp_pos[ids1])   # [F, 3] in cam1
+        X2 = lie.se3_apply(T2, ms.mp_pos[ids2])   # [F, 3] in cam2
+        ok1 = v1 & ms.mp_mask[ids1]
+        ok2 = v2 & ms.mp_mask[ids2]
+
+        # mutual guided search over the not-yet-matched features
+        taken2 = np.zeros(match12.shape, bool)
+        taken2[match12[match12 >= 0]] = True
+        free1 = jnp.asarray(match12 < 0) & ok1
+        free2 = jnp.asarray(~taken2) & ok2
+        S21 = lie.sim3_inverse(S12)
+        uv1_in2, rad1, pred1, vis1 = proj_gate(
+            lie.sim3_apply(S21, X1), free1, ids1)
+        uv2_in1, rad2, pred2, vis2 = proj_gate(
+            lie.sim3_apply(S12, X2), free2, ids2)
+        res = search.search_by_sim3(
+            ms.mp_desc[ids1], uv1_in2, rad1, pred1, vis1,
+            ms.mp_desc[ids2], uv2_in1, rad2, pred2, vis2,
+            ms.kf_desc[slot], ms.kf_uv[slot], ms.kf_level[slot],
+            ms.kf_feat_mask[slot],
+            ms.kf_desc[cand], ms.kf_uv[cand], ms.kf_level[cand],
+            ms.kf_feat_mask[cand])
+        add = np.asarray(res.mask)
+        match12 = np.where(add & (match12 < 0), np.asarray(res.idx), match12)
+
+        # bidirectional-reprojection optimization over the matched pairs
+        pair = jnp.asarray(np.maximum(match12, 0))
+        valid = jnp.asarray(match12 >= 0) & ok1 & ok2[pair]
+        inv_s2_1 = 1.0 / scales[ms.kf_level[slot]] ** 2
+        inv_s2_2 = (1.0 / scales[ms.kf_level[cand]] ** 2)[pair]
+        S12_ref, inl, n_in = sim3solver.optimize_sim3(
+            S12, X1, X2[pair], ms.kf_uv[slot], ms.kf_uv[cand][pair],
+            inv_s2_1, inv_s2_2, valid,
+            cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale)
+        match12 = np.where(np.asarray(inl), match12, -1)
+        return S12_ref, match12, int(n_in)
 
     # ------------------------------------------------------------------
     def _loop_point_ids(self, tracker, cand: int, cap: int = 4096):

@@ -61,6 +61,15 @@ class LocalMapping:
         use_imu = cfg.use_imu
         do_tri = tracker.n_kf >= 2 and fr is not None
         do_ba = tracker.n_kf >= 3
+        # reference BA-abort semantics: a keyframe arriving while the
+        # mapper is still busy interrupts local BA (InterruptBA /
+        # CheckNewKeyFrames, /root/reference/src/Tracking.cc:1424-1431,
+        # LocalMapping.cc:805-815 — LocalBundleAdjustment only runs when
+        # no KF is queued). The pipelined analogue of "busy" is unresolved
+        # prior KF stats: under KF bursts the BA rounds are dropped, just
+        # as the reference drops them, keeping per-KF device cost bounded.
+        if tracker.pipeline_depth > 1 and len(self.pending) >= 2:
+            do_ba = False
         # before VI init the preintegration chain is the init's input: the
         # reference starves culling until then (TryInitVIO holds
         # FlagCopyInitKFs, /root/reference/src/LocalMapping.cc:224-228,
@@ -75,10 +84,12 @@ class LocalMapping:
                 self.kf_count, slot, fr.pyramid,
                 bool(getattr(tracker, "depth_exact", False)), cfg,
                 do_tri=do_tri)
+            timing.sync(tracker.ms.mp_pos)
         if do_tri:
             with timing.stage("map.p2_fuse"):
                 tracker.ms, self.ring_ids, n_fused = mk.fuse_step(
                     tracker.ms, slot, self.ring_ids, cfg)
+                timing.sync(tracker.ms.mp_pos)
         else:
             n_fused = 0.0
         if do_ba:
@@ -88,6 +99,7 @@ class LocalMapping:
                     self._local_ba(tracker, slot)   # sharded multi-chip path
                 else:
                     tracker.ms = mk.local_ba_step(tracker.ms, slot, cfg)
+                timing.sync(tracker.ms.mp_pos)
 
         if use_imu:
             # VIO cull guards (/root/reference/src/LocalMapping.cc:
@@ -109,6 +121,7 @@ class LocalMapping:
                 tracker.ms, self.ring_ids, slot, tracker.ref_kf,
                 protect, cur_ts, n_killed, n_created, n_fused, cfg,
                 use_imu, do_cull=do_cull)
+            timing.sync(tracker.ms.mp_pos)
         self.pending.append(stats)
         if tracker.pipeline_depth <= 1:
             # synchronous mode: resolve now (one readback per KF)

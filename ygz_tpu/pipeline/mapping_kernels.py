@@ -169,7 +169,7 @@ def cull_and_triangulate(ms, ring_ids, ring_born, head, kf_count, slot,
     age = kf_count - ring_born
     ratio = ms.mp_found[rid].astype(jnp.float32) / \
         jnp.maximum(ms.mp_visible[rid], 1).astype(jnp.float32)
-    kill = live & ((ratio < 0.25) | ((age >= 2) & (ms.mp_obs_count[rid] <= 2)))
+    kill = live & ((ratio < 0.25) | ((age >= 2) & (ms.mp_obs_count[rid] <= 2))) & False  # XXX-EXPERIMENT
     graduate = live & ~kill & (age >= 3)
     n_killed = jnp.sum(kill.astype(jnp.int32))
 

@@ -254,10 +254,12 @@ class Tracker:
         if not self.direct_cache:
             self._rebuild_direct_cache()
 
-        out = fused_track.fused_direct_step(
-            self.ms, last.pyramid, last.uv, last.mp_idx, last.feat_mask,
-            last.T_cw, self.velocity, fr.pyramid,
-            self._cand_j, self._cand_valid, self.ref_kf, self.cfg)
+        with timing.stage("track.fused_step"):
+            out = fused_track.fused_direct_step(
+                self.ms, last.pyramid, last.uv, last.mp_idx, last.feat_mask,
+                last.T_cw, self.velocity, fr.pyramid,
+                self._cand_j, self._cand_valid, self.ref_kf, self.cfg)
+            timing.sync(out.bundle)
         # optimistic application (device values, no sync)
         fr.T_cw = out.T_cw
         fr.uv, fr.level = out.fr_uv, out.fr_level
@@ -265,10 +267,17 @@ class Tracker:
         fr.desc = None
         fr.T_c_ref = out.T_c_ref
         self.velocity = out.velocity
+        # pre-step counter snapshot rides with the pending entry: if the
+        # chain is later dropped, the optimistic visible/found increments
+        # of the dropped frames are subtracted back out (the culling
+        # heuristic feeds on the found/visible ratio — uncorrected drops
+        # would slowly corrupt it). Snapshots are lazy device references;
+        # the delta is only ever computed on the rare drop path.
+        pre_counters = (self.ms.mp_visible, self.ms.mp_found)
         self.ms = dataclasses.replace(
             self.ms, mp_visible=out.mp_visible, mp_found=out.mp_found)
 
-        self._pending.append((fr, out))
+        self._pending.append((fr, out, pre_counters))
         self.last_frame = fr
         # once the pipe exceeds `depth`, resolve everything but the
         # newest frame in ONE batched readback: the amortization is
@@ -300,15 +309,36 @@ class Tracker:
             # ONE round trip for everything this drain needs: the frames'
             # gate bundles + the mapping steps' deferred stats bundles
             bundles, map_stats = _jax.device_get(
-                ([o.bundle for _, o in pending], map_pending))
+                ([o.bundle for _, o, _ in pending], map_pending))
         if map_stats and self.mapper is not None:
             self.mapper.resolve_pending(self, stats_np=map_stats)
-        for i, (pfr, pout) in enumerate(pending):
-            if not self._resolve_one(pfr, bundles[i],
+        for i, (pfr, pout, ppre) in enumerate(pending):
+            if not self._resolve_one(pfr, bundles[i], pout, ppre,
                                      next_fr=next_fr, tail=pending[i + 1:]):
                 return  # failure path consumed the rest of the pipe
 
-    def _resolve_one(self, pfr, b, next_fr, tail):
+    def _rollback_counters(self, dropped_entries):
+        """Subtract the dropped frames' optimistic visible/found
+        increments (per-entry delta = post-step minus pre-step snapshot;
+        deltas stay valid under interleaved map updates because each is
+        local to its own step). `grow` may have widened the tables since
+        an entry was enqueued — deltas are zero-padded up to the current
+        capacity."""
+        cur_v, cur_f = self.ms.mp_visible, self.ms.mp_found
+        M = cur_v.shape[0]
+
+        def pad(d):
+            if d.shape[0] == M:
+                return d
+            return jnp.zeros((M,), d.dtype).at[:d.shape[0]].set(d)
+
+        for _, out, (pre_v, pre_f) in dropped_entries:
+            cur_v = cur_v - pad(out.mp_visible - pre_v)
+            cur_f = cur_f - pad(out.mp_found - pre_f)
+        self.ms = dataclasses.replace(self.ms, mp_visible=cur_v,
+                                      mp_found=cur_f)
+
+    def _resolve_one(self, pfr, b, pout, ppre, next_fr, tail):
         """Commit one resolved frame. Returns False if the chain broke:
         the remaining pending frames (which extended the invalid chain)
         are dropped and the CURRENT frame re-tracks synchronously."""
@@ -319,6 +349,8 @@ class Tracker:
             # every frame queued behind it (both the rest of this drain
             # and the still-in-flight newest frames), then re-track the
             # CURRENT frame from the last known-good state
+            self._rollback_counters(
+                [(pfr, pout, ppre)] + list(tail) + self._pending)
             dropped = [pfr] + [t[0] for t in tail] \
                 + [p[0] for p in self._pending]
             self._pending = []
@@ -357,7 +389,7 @@ class Tracker:
             self._create_new_keyframe(pfr)
             # frames queued behind pfr cached T_c_ref against the OLD
             # reference KF — clear so _record_frame recomputes
-            for tfr, _ in tail:
+            for tfr, _, _ in tail:
                 tfr.T_c_ref = None
         return True
 
@@ -1170,7 +1202,12 @@ class Tracker:
                                       & (z > 0) & (z < th)))
                 if n_close < 100 and self.last_inliers > 30:
                     return True
-        return (not recent) and (weak or long_gap) and self.last_inliers > 30
+        # inlier floor 15, as the reference's c2 (mnMatchesInliers > 15,
+        # /root/reference/src/Tracking.cc:1408-1410): a weak-but-alive
+        # frame is exactly when the map needs reinforcement — a higher
+        # floor (30, rounds 1-3) starved feature-poor segments and lost
+        # tracking where the reference would have inserted a keyframe
+        return (not recent) and (weak or long_gap) and self.last_inliers > 15
 
     def _create_new_keyframe(self, fr):
         with timing.stage("track.create_kf"):
@@ -1189,6 +1226,7 @@ class Tracker:
                 fr2 = frame_mod.extract_features(
                     dataclasses.replace(fr, uv=None, level=None, angle=None,
                                         desc=None, feat_mask=None), cfg)
+                timing.sync(fr2.desc)
             self._copy_frame_fields(fr, fr2)
             # re-associate direct-tracked map points to extracted features
             # by projection proximity; direct points with no nearby corner
@@ -1202,21 +1240,27 @@ class Tracker:
                     direct_uv, direct_lvl, direct_mp, direct_mask,
                     fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
                     fr.pyramid, cfg)
+                timing.sync(fr.desc)
             if fr.depth_img is not None or fr.right_pyr is not None:
                 # merged direct positions overwrote tail feature slots;
                 # re-associate metric depth at the final uv table
                 fr2 = frame_mod.associate_depth(fr, cfg)
                 fr.ur, fr.depth = fr2.ur, fr2.depth
 
-        slot = self.alloc_kf_slot()
+        with timing.stage("track.kf.alloc"):
+            slot = self.alloc_kf_slot()
         with timing.stage("track.kf.insert"):
             self.ms = self._insert_kf_from_frame(fr, slot, fr.mp_idx)
+            timing.sync(self.ms.kf_q)
         self.n_kf += 1
         if fr.depth is not None:
             self._create_depth_map_points(fr, slot)
-        self.ms = map_ops.bind_observations(self.ms)
+        with timing.stage("track.kf.bind"):
+            self.ms = map_ops.bind_observations(self.ms)
+            timing.sync(self.ms.mp_pos)
         with timing.stage("track.kf.refine_obs"):
             self._refine_kf_observations(slot, fr)
+            timing.sync(self.ms.kf_uv)
         self.ref_kf = slot
         self.last_kf_frame_id = fr.frame_id
         if self.mapper is not None:
@@ -1228,10 +1272,12 @@ class Tracker:
         # against the PREVIOUS ref KF — clear so _record_frame
         # recomputes against the new one (else one grossly wrong
         # trajectory pose per KF insertion in pipelined runs)
-        for pf, _ in self._pending:
+        for pf, _, _ in self._pending:
             pf.T_c_ref = None
         self.new_kf_slots.append(slot)
-        self._rebuild_direct_cache()
+        with timing.stage("track.kf.rebuild_cache"):
+            self._rebuild_direct_cache()
+            timing.sync(self._cand_j)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))

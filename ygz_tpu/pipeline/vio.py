@@ -308,6 +308,11 @@ class VioTracker(Tracker):
         self.kf_ns[order[-1]] = self.kf_ns[order[-1]]._replace(
             V=self.kf_ns[order[-2]].V)
         self.last_ns = self.kf_ns[order[-1]]
+        # finite-difference velocities above are only the SEED: the
+        # reference follows init acceptance with a full NavState global
+        # BA and spanning-tree correction (src/LocalMapping.cc:617-713);
+        # the optimizer's velocities/poses/points replace the seeds
+        self._vi_global_ba(iters=10)
         self.vins_inited = True
         self.velocity = None  # switch to IMU prediction
         print(f"[vio] initialized: scale={s:.4f} "
@@ -333,8 +338,36 @@ class VioTracker(Tracker):
         outside the window that observe those points join as FIXED
         vertices contributing projection edges only (:939-1005)."""
         W = self.cfg.local_window_size
-        order = self.kf_order[-W:]
-        if len(order) < 3:
+        self._navstate_ba(self.kf_order[-W:],
+                          total=W + self.MAX_FIXED_RING,
+                          use_ring=True, iters=5)
+
+    def _vi_global_ba(self, iters: int = 10):
+        """Full-chain NavState global BA, run once when VI init is
+        accepted (reference GlobalBundleAdjustmentNavState +
+        spanning-tree correction, /root/reference/src/LocalMapping.cc:
+        617-713 and src/Optimizer.cc:62-276): every KF's NavState is a
+        free vertex (first fixed), all preintegration edges and all
+        projection edges join, and the optimized velocities/biases
+        replace the finite-difference seeds. The reference then
+        propagates the correction through the spanning tree to KFs
+        created during the BA; here the BA runs synchronously at KF
+        creation, so the chain IS the whole alive-KF set and no
+        propagation step exists."""
+        order = list(self.kf_order)
+        # bucket the KF capacity to limit distinct program shapes (one
+        # global-BA compile per bucket, not per chain length)
+        total = max(8, 1 << int(np.ceil(np.log2(len(order)))))
+        self._navstate_ba(order, total=total, use_ring=False, iters=iters)
+        # the marginal prior refers to pre-BA states; drop it
+        self.prior_H = None
+
+    def _navstate_ba(self, order, total: int, use_ring: bool,
+                     iters: int):
+        """Shared NavState BA core over `order` (temporal KF slots):
+        builds the padded ViWindowProblem, runs vi_ba.local_ba_navstate,
+        and writes back poses, NavStates, and map points."""
+        if len(order) < 3 or len(order) > total:
             return
         n = len(order)
         pres = [self.kf_pre[k] for k in order[1:]]
@@ -352,20 +385,22 @@ class VioTracker(Tracker):
         g2l[local_ids] = np.arange(len(local_ids))
 
         # fixed observer ring: KFs outside the window seeing local points
-        obs_kfs = np.asarray(mapstate.observers_of(
-            self.ms, jnp.asarray(member)))
-        fixed = [int(k) for k in np.where(obs_kfs)[0]
-                 if k not in order][:self.MAX_FIXED_RING]
+        # (window BA only — the global BA's chain already covers every
+        # alive KF)
+        fixed = []
+        if use_ring:
+            obs_kfs = np.asarray(mapstate.observers_of(
+                self.ms, jnp.asarray(member)))
+            fixed = [int(k) for k in np.where(obs_kfs)[0]
+                     if k not in order][:self.MAX_FIXED_RING]
         sel = list(order) + fixed
         n_sel = len(sel)
-        # ONE window-BA program for the whole run: pad the KF axis to the
-        # fixed capacity (window + ring) with masked repeats of the last
-        # selected KF. A per-(n, ring) program shape meant ~2(W+R) big
-        # JIT loads spread through the run — both a compile-cost problem
-        # and exposure to the late-process XLA:CPU JIT segfault
-        # (tests/conftest.py lore); static capacity is also simply the
-        # right XLA shape discipline.
-        total = W + self.MAX_FIXED_RING
+        # ONE BA program per capacity: pad the KF axis to `total` with
+        # masked repeats of the last selected KF. A per-(n, ring) program
+        # shape meant ~2(W+R) big JIT loads spread through the run — both
+        # a compile-cost problem and exposure to the late-process XLA:CPU
+        # JIT segfault (tests/conftest.py lore); static capacity is also
+        # simply the right XLA shape discipline.
         sel = sel + [sel[-1]] * (total - n_sel)
 
         ns = jax.tree.map(lambda *x: jnp.stack(x),
@@ -417,7 +452,7 @@ class VioTracker(Tracker):
         cam = self.cfg.camera
         out_ns, out_pos = vi_ba.local_ba_navstate(
             prob, self.gw, self.Tbc, cam.fx, cam.fy, cam.cx, cam.cy,
-            iters=5, points=pts,
+            iters=iters, points=pts,
             bias_walk=(self.cfg.gyro_bias_walk, self.cfg.acc_bias_walk))
         for i, k in enumerate(order):
             ns_k = jax.tree.map(lambda a: a[i], out_ns)
