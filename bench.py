@@ -166,6 +166,100 @@ def bench_kernel(report_stages: bool = True):
     return 1.0 / dt
 
 
+def bench_vio(report_stages: bool = True):
+    """VIO device hot path (VERDICT r3 #5): the fused VI step — IMU
+    preintegration + NavState prediction + sparse align + direct KLT +
+    joint VI pose optimization with marginal prior — as ONE device
+    program on EuRoC-sized frames, the program pipelined VIO dispatches
+    per frame (reference hot path: /root/reference/src/Tracking.cc:
+    1994-2105 + src/Optimizer.cc:278-618, ~20 ms/frame on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from ygz_tpu.core import lie
+    from ygz_tpu.core.camera import Camera
+    from ygz_tpu.imu import navstate as ns_mod
+    from ygz_tpu.ops import align, pyramid
+    from ygz_tpu.pipeline import fused_track, mapstate
+    from ygz_tpu.pipeline.vio import FRAME_IMU_PAD, _pad_imu
+    from ygz_tpu.utils.config import SlamConfig
+
+    cam = Camera(fx=458.0, fy=457.0, cx=367.0, cy=248.0,
+                 width=752, height=480)
+    cfg = SlamConfig(
+        camera=cam, fps=20.0, use_imu=True,
+        n_features=1000, n_levels=4, scale_factor=2.0,
+        ini_th_fast=12.0, min_th_fast=5.0,
+        cache_features=150, init_min_matches=100,
+        max_keyframes=8, max_map_points=1024,
+        detect_cell=32, detect_per_cell=5)
+    N, C = cfg.n_features, 512
+    rng = np.random.RandomState(0)
+    img_last = jnp.asarray(rng.rand(480, 752).astype(np.float32) * 255.0)
+    img_cur = jnp.asarray(rng.rand(480, 752).astype(np.float32) * 255.0)
+    last_pyr = pyramid.build_pyramid(img_last, cfg.n_levels,
+                                     cfg.scale_factor)
+    cur_pyr = pyramid.build_pyramid(img_cur, cfg.n_levels, cfg.scale_factor)
+
+    # synthetic local map: C points in front of the camera with patches
+    uv_c = (rng.rand(C, 2) * np.array([700, 440]) + 20).astype(np.float32)
+    depth_c = rng.uniform(2.0, 8.0, C).astype(np.float32)
+    pts_c = np.stack([(uv_c[:, 0] - cam.cx) / cam.fx * depth_c,
+                      (uv_c[:, 1] - cam.cy) / cam.fy * depth_c,
+                      depth_c], -1)
+    ms = mapstate.make_empty(cfg.max_keyframes, cfg.max_map_points, N, 64)
+    side = int(np.sqrt(ms.mp_patch.shape[1]))
+    import dataclasses as _dc
+    ms = _dc.replace(
+        ms,
+        mp_pos=ms.mp_pos.at[:C].set(jnp.asarray(pts_c)),
+        mp_mask=ms.mp_mask.at[:C].set(True),
+        mp_patch=ms.mp_patch.at[:C].set(jnp.asarray(
+            rng.rand(C, side * side).astype(np.float32) * 255.0)),
+        mp_min_dist=ms.mp_min_dist.at[:C].set(0.1),
+        mp_max_dist=ms.mp_max_dist.at[:C].set(100.0),
+        mp_obs_count=ms.mp_obs_count.at[:C].set(3),
+        kf_mask=ms.kf_mask.at[0].set(True))
+    cand_idx = jnp.arange(C, dtype=jnp.int32)
+    cand_valid = jnp.ones((C,), bool)
+
+    # last frame: first 256 features bound to map points
+    n_b = 256
+    last_uv = jnp.zeros((N, 2)).at[:n_b].set(jnp.asarray(uv_c[:n_b]))
+    last_mp_idx = jnp.full((N,), -1, jnp.int32).at[:n_b].set(
+        jnp.arange(n_b, dtype=jnp.int32))
+    last_mask = jnp.zeros((N,), bool).at[:n_b].set(True)
+    T_last = lie.se3_identity()
+    gw = jnp.array([0.0, 0.0, -9.81])
+    ns = ns_mod.NavState(P=jnp.zeros(3), V=jnp.zeros(3),
+                         q=lie.quat_identity(), bg=jnp.zeros(3),
+                         ba=jnp.zeros(3))
+    prior_H = jnp.eye(15) * 1e2
+    # stationary IMU: accelerometer reads -g in body frame
+    rows = np.zeros((10, 7), np.float32)
+    rows[:, 0] = 0.005
+    rows[:, 6] = 9.81
+    imu_p, imu_m = _pad_imu(rows, FRAME_IMU_PAD)
+
+    def step(cur):
+        return fused_track.fused_vi_step(
+            ms, last_pyr, last_uv, last_mp_idx, last_mask, T_last,
+            ns, prior_H, imu_p, imu_m, jnp.zeros(3), jnp.zeros(3),
+            gw, {k: jnp.asarray(v) for k, v in lie.se3_identity().items()},
+            cur, cand_idx, cand_valid, 0, cfg)
+
+    out = step(cur_pyr)
+    jax.block_until_ready(out.bundle)
+    n_iter = 100
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(cur_pyr)
+    jax.block_until_ready(out.bundle)
+    dt = (time.perf_counter() - t0) / n_iter
+    print(f"[bench] vio fused step: {dt*1e3:.2f} ms ({1.0/dt:.1f} FPS)",
+          file=sys.stderr, flush=True)
+    return 1.0 / dt
+
+
 def synthetic_render_jittable(tex, T_cw, cam):
     """tests/synthetic.render, trace-compatible (it already is — this
     indirection exists so jax.jit sees a single callable)."""
@@ -299,6 +393,12 @@ def main():
         kernel_fps = float("nan")
     else:
         kernel_fps = bench_kernel()
+    vio_fps = None
+    if not os.environ.get("BENCH_SKIP_VIO"):
+        try:
+            vio_fps = bench_vio()
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] vio bench failed: {e!r}", file=sys.stderr)
     try:
         system_fps, tracked, med_fps = bench_system(
             use_loop_closing=bool(os.environ.get("BENCH_LOOP")))
@@ -331,6 +431,8 @@ def main():
             "unit": "frames/s",
             "vs_baseline": round(kernel_fps / 50.0, 3),
         }
+    if vio_fps is not None:
+        out["vio_fps"] = round(vio_fps, 2)
     print(json.dumps(out))
 
 

@@ -54,6 +54,10 @@ class Frame:
     # pose relative to the reference KF, precomputed on device by the
     # fused tracking step (avoids per-frame eager recompute + sync)
     T_c_ref: Optional[dict] = None
+    # NavState produced by the VI tracking step (vio path): keyframe
+    # creation seeds the KF NavState from the frame's own state instead
+    # of whatever the tracker's latest in-flight estimate is
+    vio_ns: Optional[object] = None
 
     @property
     def extracted(self) -> bool:

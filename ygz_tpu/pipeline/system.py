@@ -142,7 +142,13 @@ class System:
         (t, wx, wy, wz, ax, ay, az) since the previous frame."""
         fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg,
                                   imu=imu)
-        T = self.tracker.track(fr)
+        if self.pipelined:
+            # post-init frames stream through the fused VI step with
+            # deferred gates (VioTracker.track_pipelined); pre-init and
+            # fallback frames run the synchronous cascade
+            T = self.tracker.track_pipelined(fr)
+        else:
+            T = self.tracker.track(fr)
         # loop correction is disabled under IMU (no loop_closer), but the
         # auto-reset on early track loss still applies
         self.tracker.new_kf_slots = []

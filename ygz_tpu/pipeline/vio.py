@@ -29,10 +29,15 @@ from ygz_tpu.imu import preintegration as pre_mod
 from ygz_tpu.imu import vi_init
 from ygz_tpu.pipeline import frame as frame_mod
 from ygz_tpu.pipeline import mapstate
-from ygz_tpu.pipeline.tracking import Tracker, OK
+from ygz_tpu.pipeline.tracking import Tracker, OK, LOST
+from ygz_tpu.utils import timing
 from ygz_tpu.utils.config import SlamConfig
 
-IMU_PAD = 256  # per-frame IMU block capacity
+IMU_PAD = 256       # per-gap IMU block capacity (KF preintegrations)
+FRAME_IMU_PAD = 64  # per-frame block inside the fused VI step: a small
+                    # pad keeps the in-program preintegration scan short
+                    # (~10 rows/frame at 100 Hz IMU / 10 fps video);
+                    # longer blocks fall back to the synchronous cascade
 
 
 def _pad_imu(rows: Optional[np.ndarray], cap: int = IMU_PAD):
@@ -62,7 +67,7 @@ class VioTracker(Tracker):
         self.kf_pre: dict = {}   # slot -> PreintState from the previous KF
         self.kf_imu_rows: dict = {}  # slot -> raw IMU rows of that gap
         self.kf_order: List[int] = []   # KF slots in temporal order
-        self.imu_since_kf: List[np.ndarray] = []
+        self.imu_since_kf: List[tuple] = []  # (frame_id, rows) blocks
         self.imu_since_frame: Optional[np.ndarray] = None
         self.last_ns: Optional[ns_mod.NavState] = None
         self.prior_H = None
@@ -134,12 +139,144 @@ class VioTracker(Tracker):
 
     # ------------------------------------------------------------------
     def track(self, fr: frame_mod.Frame):
+        self._ingest_imu(fr)
+        return super().track(fr)
+
+    def _ingest_imu(self, fr):
+        """Host-side IMU ledger (pure numpy, no device work). Entries are
+        (frame_id, rows): keyframe creation may run FRAMES LATE in
+        pipelined mode, and the KF's preintegration gap must stop at the
+        KF frame, not at whatever arrived since."""
         if self.first_frame_time is None:
             self.first_frame_time = fr.timestamp
         if fr.imu is not None and len(fr.imu):
-            self.imu_since_kf.append(np.asarray(fr.imu, np.float32))
+            self.imu_since_kf.append(
+                (fr.frame_id, np.asarray(fr.imu, np.float32)))
         self.imu_since_frame = fr.imu
-        return super().track(fr)
+
+    # ------------------------------------------------------------------
+    # pipelined VI tracking (deferred gate readback; VERDICT r3 #5)
+    # ------------------------------------------------------------------
+    def track_pipelined(self, fr: frame_mod.Frame):
+        """Throughput-mode VI tracking: enqueue the fused VI step (IMU
+        preintegration + prediction + sparse align + direct search +
+        NavState refinement as ONE device program) without waiting for
+        its gates; resolve gate bundles `pipeline_depth` frames late in
+        one batched readback — same deferred-gate design as the mono
+        path (Tracker.track_pipelined), with VI chain semantics: a
+        vision-weak frame still commits on its IMU prediction (the
+        reference's bTrackOK=false branch), so the optimistic chain only
+        breaks on non-finite state."""
+        from ygz_tpu.pipeline import fused_track
+        self._ingest_imu(fr)
+        last = self.last_frame
+        rows = fr.imu
+        if (not self.vins_inited or self.state != OK or last is None
+                or last.mp_idx is None or last.T_cw is None or fr.extracted
+                or self.last_ns is None or self.prior_H is None
+                or (rows is not None and len(rows) > FRAME_IMU_PAD)):
+            # pre-init / fallback / oversized IMU gap: synchronous path
+            # (imu ledger already ingested — call the base tracker)
+            self.flush_pipeline()
+            return Tracker.track(self, fr)
+        if not self.direct_cache:
+            self._rebuild_direct_cache()
+        imu_p, imu_m = _pad_imu(rows, FRAME_IMU_PAD)
+        with timing.stage("track.fused_vi_step"):
+            out = fused_track.fused_vi_step(
+                self.ms, last.pyramid, last.uv, last.mp_idx,
+                last.feat_mask, last.T_cw, self.last_ns, self.prior_H,
+                imu_p, imu_m, self.bg, self.ba, self.gw, self.Tbc,
+                fr.pyramid, self._cand_j, self._cand_valid, self.ref_kf,
+                self.cfg)
+            timing.sync(out.bundle)
+        # optimistic application (device values, no sync)
+        fr.T_cw = out.T_cw
+        fr.uv, fr.level = out.fr_uv, out.fr_level
+        fr.feat_mask, fr.mp_idx = out.fr_feat_mask, out.fr_mp_idx
+        fr.desc = None
+        fr.T_c_ref = out.T_c_ref
+        fr.vio_ns = out.ns
+        self.last_ns = out.ns
+        self.prior_H = out.prior_H
+        self.velocity = None
+        pre_counters = (self.ms.mp_visible, self.ms.mp_found)
+        self.ms = dataclasses.replace(
+            self.ms, mp_visible=out.mp_visible, mp_found=out.mp_found)
+        self._pending.append((fr, out, pre_counters))
+        self.last_frame = fr
+        if len(self._pending) > self.pipeline_depth:
+            self._drain_pipeline(len(self._pending) - 1, next_fr=fr)
+        return fr.T_cw
+
+    def _resolve_one(self, pfr, b, pout, ppre, next_fr, tail):
+        """VI resolution semantics for fused_vi_step entries; mono/vision
+        entries (pre-init frames never enqueue, but stay safe) defer to
+        the base resolver."""
+        from ygz_tpu.pipeline import fused_track as ft
+        if not isinstance(pout, ft.FusedViStepOut):
+            return super()._resolve_one(pfr, b, pout, ppre, next_fr, tail)
+        if not bool(b[ft.B_FINITE]):
+            # non-finite state: drop pfr and the chain built on it, then
+            # re-track the current frame synchronously from the last
+            # good frame (IMU rows of the dropped span concatenate into
+            # one prediction gap — each frame's block covers exactly
+            # (predecessor, frame])
+            self._rollback_counters(
+                [(pfr, pout, ppre)] + list(tail) + self._pending)
+            dropped = [(pfr, pout)] + [(t[0], t[1]) for t in tail] \
+                + [(p[0], p[1]) for p in self._pending]
+            self._pending = []
+            for tfr, _ in dropped:
+                if next_fr is not None and tfr is next_fr:
+                    continue
+                self.trajectory.append(dict(frame_id=tfr.frame_id,
+                                            timestamp=tfr.timestamp,
+                                            lost=True))
+            good = getattr(self, "_last_good", None)
+            self.prior_H = None
+            self.last_ns = good.vio_ns if good is not None else None
+            if next_fr is not None:
+                gap = [np.asarray(tfr.imu, np.float32)
+                       for tfr, _ in dropped
+                       if tfr.imu is not None and len(tfr.imu)]
+                self.imu_since_frame = (np.concatenate(gap)
+                                        if gap else None)
+                next_fr.T_cw = None
+                next_fr.uv = next_fr.level = next_fr.desc = None
+                next_fr.feat_mask = next_fr.mp_idx = None
+                next_fr.T_c_ref = None
+                next_fr.vio_ns = None
+                self.last_frame = good if good is not None else pfr
+                self._track_frame(next_fr)
+                if next_fr.T_cw is not None and self.state == OK:
+                    self._record_frame(next_fr)
+                    self._last_good = next_fr
+                self.last_frame = next_fr
+            else:
+                self.state = LOST
+            return False
+        # committed (vision-weak frames commit too, on the prediction)
+        vis_ok = bool(b[ft.B_OK])
+        self.last_inliers = int(b[ft.B_N_IN])
+        self._ref_obs_cache = int(b[ft.B_REF_OBS])
+        self._ref_obs3_cache = int(b[ft.B_REF_OBS3])
+        self._record_frame(pfr)
+        self._last_good = pfr
+        if (not vis_ok) or b[ft.B_N_HIT] < self.cfg.cache_features:
+            self._rebuild_direct_cache()
+        if vis_ok and self._need_new_keyframe(pfr):
+            # the window BA inside KF creation rewrites last_ns/kf poses
+            # for the KF CHAIN; the in-flight frame chain (frames newer
+            # than pfr already enqueued against their own states) must
+            # keep its optimistic state — it re-anchors at the next KF
+            save_ns, save_H = self.last_ns, self.prior_H
+            self._create_new_keyframe(pfr)
+            if save_ns is not None:
+                self.last_ns, self.prior_H = save_ns, save_H
+            for tfr, _, _ in tail:
+                tfr.T_c_ref = None
+        return True
 
     # ------------------------------------------------------------------
     def _preintegrate_rows(self, rows):
@@ -185,19 +322,31 @@ class VioTracker(Tracker):
 
     # hook: called by Tracker when a KF slot is filled
     def _create_new_keyframe(self, fr):
-        rows = (np.concatenate(self.imu_since_kf)
-                if self.imu_since_kf else None)
+        # the KF's IMU gap ends AT the KF frame: blocks that arrived for
+        # later frames (pipelined mode resolves KF decisions frames late)
+        # stay queued for the next gap
+        take = [r for fid, r in self.imu_since_kf if fid <= fr.frame_id]
+        keep = [(fid, r) for fid, r in self.imu_since_kf
+                if fid > fr.frame_id]
+        rows = np.concatenate(take) if take else None
         super()._create_new_keyframe(fr)
         slot = self.ref_kf
         self.kf_pre[slot] = self._preintegrate_rows(rows)
         self.kf_imu_rows[slot] = rows
         self.kf_order.append(slot)
-        self.imu_since_kf = []
-        # NavState seeded from the visual pose
-        V = (self.last_ns.V if (self.vins_inited and self.last_ns is not None)
-             else jnp.zeros(3))
-        self.kf_ns[slot] = ns_mod.tcw_to_navstate(
-            fr.T_cw, self.Tbc, V=V, bg=self.bg, ba=self.ba)
+        self.imu_since_kf = keep
+        # NavState seeded from the frame's own VI state when the fused
+        # step produced one; else from the visual pose + latest velocity
+        if fr.vio_ns is not None:
+            ns = fr.vio_ns
+            self.kf_ns[slot] = ns_mod.tcw_to_navstate(
+                fr.T_cw, self.Tbc, V=ns.V, bg=ns.bg, ba=ns.ba)
+        else:
+            V = (self.last_ns.V
+                 if (self.vins_inited and self.last_ns is not None)
+                 else jnp.zeros(3))
+            self.kf_ns[slot] = ns_mod.tcw_to_navstate(
+                fr.T_cw, self.Tbc, V=V, bg=self.bg, ba=self.ba)
         if self.vins_inited:
             self._vi_window_ba()
         elif (fr.timestamp - self.first_frame_time >= self.cfg.vins_init_time
@@ -516,6 +665,7 @@ class VioTracker(Tracker):
             else:
                 fr.T_cw = ns_mod.navstate_to_tcw(ns_pred, self.Tbc)
                 self.last_ns = ns_pred
+                fr.vio_ns = ns_pred
                 fr.mp_idx = jnp.full((self.cfg.n_features,), -1, jnp.int32)
                 if fr.feat_mask is None:
                     fr.feat_mask = jnp.zeros((self.cfg.n_features,), bool)
@@ -556,5 +706,6 @@ class VioTracker(Tracker):
         fr.T_cw = ns_mod.navstate_to_tcw(ns, self.Tbc)
         fr.mp_idx = jnp.where(inlier | ~tracked, fr.mp_idx, -1)
         self.last_ns = ns
+        fr.vio_ns = ns
         self.prior_H = H
         self.last_inliers = int(n_in)
