@@ -178,10 +178,20 @@ class BAProblem(NamedTuple):
 
 
 def _build_schur_system(prob: BAProblem, inlier, fx, fy, cx, cy, bf,
-                        robust: bool, damping):
+                        robust: bool, damping, kf_major: bool = False):
     """One linearization: returns (S [K6,K6], g [K6], Hpp_inv [M,3,3],
     bp [M,3], W [K6,M,3]) — the dense-W Schur form. W memory is
-    K*6*M*3 floats; with K<=64, M<=8192 that is ~38 MB, well inside HBM."""
+    K*6*M*3 floats; with K<=64, M<=8192 that is ~38 MB, well inside HBM.
+
+    kf_major=True asserts the observation table is KF-major — O == K*N
+    with obs.kf[o] == o // N, and each KF observing each point through at
+    most one feature (both pipeline producers, _gather_observations and
+    _gather_local_problem, guarantee this). That layout turns every
+    normal-equation block into either a plain row reduction (camera
+    blocks) or a per-row UNIQUE-index scatter (point/cross blocks), which
+    XLA parallelizes — the flat segment_sum/scatter-add fallback
+    serializes on index collisions and cost ~140 ms per local BA on v5e;
+    the KF-major form runs the same math in a few ms."""
     K = prob.kf_q.shape[0]
     M = prob.mp.shape[0]
     obs = prob.obs
@@ -194,20 +204,49 @@ def _build_schur_system(prob: BAProblem, inlier, fx, fy, cx, cy, bf,
     w = _irls_weights(r, chi2, obs.inv_sigma2, is_stereo, valid, robust)
     wc = w * cam_free
 
-    # camera diag blocks [K, 6, 6]
-    Hcc = jax.ops.segment_sum(
-        jnp.einsum("oad,oae,o->ode", Jc, Jc, wc), obs.kf, num_segments=K)
-    bc = jax.ops.segment_sum(
-        -jnp.einsum("oad,oa,o->od", Jc, r, wc), obs.kf, num_segments=K)
-    # point blocks [M, 3, 3]
-    Hpp = jax.ops.segment_sum(
-        jnp.einsum("oad,oae,o->ode", Jp, Jp, w), obs.mp, num_segments=M)
-    bp = jax.ops.segment_sum(
-        -jnp.einsum("oad,oa,o->od", Jp, r, w), obs.mp, num_segments=M)
+    if kf_major:
+        O = obs.kf.shape[0]
+        N = O // K
+        # camera diag blocks [K, 6, 6]: plain row reduction
+        Hcc = jnp.einsum("oad,oae,o->ode", Jc, Jc, wc).reshape(
+            K, N, 6, 6).sum(axis=1)
+        bc = -jnp.einsum("oad,oa,o->od", Jc, r, wc).reshape(
+            K, N, 6).sum(axis=1)
 
-    # cross blocks, scattered dense: W[K,6,M,3]
-    Wblk = jnp.einsum("oad,oae,o->ode", Jc, Jp, wc)      # [O, 6, 3]
-    Wfull = jnp.zeros((K, 6, M, 3), Jc.dtype).at[obs.kf, :, obs.mp, :].add(Wblk)
+        # point/cross blocks: scatter per KF row with UNIQUE indices —
+        # invalid lanes are routed to M + feature (distinct, dropped)
+        rows_k = jnp.arange(K, dtype=jnp.int32)[:, None]
+        feat_n = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None], (K, N))
+        mp_kn = obs.mp.reshape(K, N)
+        tgt = jnp.where(valid.reshape(K, N), mp_kn, M + feat_n)
+
+        Hpp_blk = jnp.einsum("oad,oae,o->ode", Jp, Jp, w).reshape(
+            K, N, 3, 3)
+        Hpp = jnp.zeros((K, M, 3, 3), Jc.dtype).at[rows_k, tgt].set(
+            Hpp_blk, mode="drop", unique_indices=True).sum(axis=0)
+        bp_blk = -jnp.einsum("oad,oa,o->od", Jp, r, w).reshape(K, N, 3)
+        bp = jnp.zeros((K, M, 3), Jc.dtype).at[rows_k, tgt].set(
+            bp_blk, mode="drop", unique_indices=True).sum(axis=0)
+
+        Wblk = jnp.einsum("oad,oae,o->ode", Jc, Jp, wc).reshape(K, N, 6, 3)
+        Wfull = jnp.zeros((K, M, 6, 3), Jc.dtype).at[rows_k, tgt].set(
+            Wblk, mode="drop", unique_indices=True).transpose(0, 2, 1, 3)
+    else:
+        # generic layout: segment sums + scatter-add (tests, ad-hoc graphs)
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("oad,oae,o->ode", Jc, Jc, wc), obs.kf,
+            num_segments=K)
+        bc = jax.ops.segment_sum(
+            -jnp.einsum("oad,oa,o->od", Jc, r, wc), obs.kf, num_segments=K)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("oad,oae,o->ode", Jp, Jp, w), obs.mp,
+            num_segments=M)
+        bp = jax.ops.segment_sum(
+            -jnp.einsum("oad,oa,o->od", Jp, r, w), obs.mp, num_segments=M)
+        Wblk = jnp.einsum("oad,oae,o->ode", Jc, Jp, wc)      # [O, 6, 3]
+        Wfull = jnp.zeros((K, 6, M, 3), Jc.dtype).at[
+            obs.kf, :, obs.mp, :].add(Wblk)
 
     # damp + invert point blocks
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
@@ -255,9 +294,11 @@ def _ba_cost(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust):
     return jnp.sum(jnp.where(valid, c, 0.0))
 
 
-def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping):
+def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping,
+             kf_major: bool = False):
     S, g, Hpp_inv, bp, Wr = _build_schur_system(
-        prob, inlier, fx, fy, cx, cy, bf, robust, damping)
+        prob, inlier, fx, fy, cx, cy, bf, robust, damping,
+        kf_major=kf_major)
     K = prob.kf_q.shape[0]
     dxc = jnp.linalg.solve(S, g)
     dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
@@ -277,16 +318,19 @@ def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping):
 
 def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
                   robust: bool = True, mu0: float = 1e-4,
-                  inlier: Optional[jnp.ndarray] = None):
+                  inlier: Optional[jnp.ndarray] = None,
+                  kf_major: bool = False):
     """LM bundle adjustment with accept/reject damping. Static iteration
-    count; jit-friendly. Returns the updated problem."""
+    count; jit-friendly. Returns the updated problem. kf_major: see
+    _build_schur_system."""
     fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
     if inlier is None:
         inlier = prob.obs.mask
 
     def body(_, carry):
         p, mu, cost = carry
-        p_try = _ba_step(p, inlier, fx, fy, cx, cy, bf, robust, mu)
+        p_try = _ba_step(p, inlier, fx, fy, cx, cy, bf, robust, mu,
+                         kf_major=kf_major)
         cost_try = _ba_cost(p_try, inlier, fx, fy, cx, cy, bf, robust)
         accept = cost_try < cost
         p = jax.tree.map(
@@ -312,22 +356,26 @@ def classify_outliers(prob: BAProblem, cam):
 
 
 def local_bundle_adjustment(prob: BAProblem, cam,
-                            stage1_iters: int = 5, stage2_iters: int = 10):
+                            stage1_iters: int = 5, stage2_iters: int = 10,
+                            kf_major: bool = False):
     """Two-stage local BA exactly mirroring the reference's schedule
     (/root/reference/src/Optimizer.cc:1844-2155): optimize 5 iters robust,
     drop chi2 outliers, optimize 10 more, final outlier classification.
 
     Returns (problem, inlier_mask)."""
-    prob = bundle_adjust(prob, cam, iters=stage1_iters, robust=True)
+    prob = bundle_adjust(prob, cam, iters=stage1_iters, robust=True,
+                         kf_major=kf_major)
     inlier = classify_outliers(prob, cam)
     prob = bundle_adjust(prob, cam, iters=stage2_iters, robust=True,
-                         inlier=inlier)
+                         inlier=inlier, kf_major=kf_major)
     inlier = classify_outliers(prob, cam)
     return prob, inlier
 
 
-def global_bundle_adjustment(prob: BAProblem, cam, iters: int = 20):
+def global_bundle_adjustment(prob: BAProblem, cam, iters: int = 20,
+                             kf_major: bool = False):
     """Vision global BA (reference BundleAdjustment,
     /root/reference/src/Optimizer.cc:1478-1654): all KFs free except the
     first, plain robust LM. Same engine, bigger window."""
-    return bundle_adjust(prob, cam, iters=iters, robust=True)
+    return bundle_adjust(prob, cam, iters=iters, robust=True,
+                         kf_major=kf_major)

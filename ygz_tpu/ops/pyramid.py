@@ -73,3 +73,30 @@ def build_pyramid(img, n_levels: int, scale_factor: float):
 def scale_factors(n_levels: int, scale_factor: float) -> np.ndarray:
     """Per-level scale (level l coordinates * factor[l] = level-0 coords)."""
     return np.array([scale_factor ** l for l in range(n_levels)], dtype=np.float32)
+
+
+ATLAS_GUTTER = 24  # zero columns between levels (> align2d half+margin)
+
+
+def atlas_from_pyramid(pyr):
+    """Pack all pyramid levels side by side into ONE image so per-level
+    batched ops (align2d, descriptor gathers) run as a single call instead
+    of one masked call per level: a point at level l samples the atlas at
+    (u_l + xoff[l], v_l). Levels are separated by ATLAS_GUTTER zero
+    columns so an (half+margin)-radius patch can never read a neighboring
+    level's pixels; vertical overruns land in the zero rows below each
+    level (callers gate those with their own in-bounds masks / NCC).
+
+    Returns (atlas [H0, sum(W_l + GUTTER)], xoffs tuple of static ints).
+    """
+    H0 = pyr[0].shape[0]
+    cols, xoffs = [], []
+    x = 0
+    for img in pyr:
+        h, w = img.shape
+        col = jnp.zeros((H0, w + ATLAS_GUTTER), img.dtype)
+        col = col.at[:h, :w].set(img)
+        cols.append(col)
+        xoffs.append(x)
+        x += w + ATLAS_GUTTER
+    return jnp.concatenate(cols, axis=1), tuple(xoffs)

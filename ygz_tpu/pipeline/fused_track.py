@@ -77,9 +77,19 @@ def fused_direct_step(ms, last_pyr, last_uv, last_mp_idx, last_feat_mask,
     pts_last = lie.se3_apply(T_last, pts_w)
     valid_sa = tracked & ms.mp_mask[mp_ids] & (pts_last[:, 2] > 0.05)
 
+    # compact to SA_CAP lanes: the alignment cost is gather-bound and
+    # linear in lanes; 256 well-tracked patches constrain 6 DoF as well
+    # as 1000 (the reference SVO-style aligner runs on a similar count).
+    # min_level=1 matches the reference exactly — it never aligns on the
+    # full-resolution level (SparseImgAlign(nLevels-1, 1),
+    # /root/reference/src/Tracking.cc:207).
+    SA_CAP = 256
+    from ygz_tpu.pipeline.mapping_kernels import _compact
+    sa_idx, sa_valid = _compact(valid_sa, SA_CAP)
     T_rel, _ = align.sparse_image_align(
-        velocity, last_pyr, cur_pyr, last_uv, pts_last, valid_sa, cam,
-        scales, max_level=min(cfg.n_levels - 1, 3))
+        velocity, last_pyr, cur_pyr, last_uv[sa_idx], pts_last[sa_idx],
+        sa_valid, cam, scales, max_level=min(cfg.n_levels - 1, 3),
+        min_level=1)
     xi = lie.se3_log(lie.se3_compose(T_rel, lie.se3_inverse(velocity)))
     motion_ok = jnp.all(jnp.isfinite(xi)) & \
         (jnp.linalg.norm(xi[3:]) <= 0.5) & (jnp.linalg.norm(xi[:3]) <= 1.0)
@@ -197,9 +207,13 @@ def fused_vi_step(ms, last_pyr, last_uv, last_mp_idx, last_feat_mask,
     pts_last = lie.se3_apply(T_last, ms.mp_pos[mp_ids])
     valid_sa = tracked & ms.mp_mask[mp_ids] & (pts_last[:, 2] > 0.05)
     T_vel = lie.se3_compose(T_pred, lie.se3_inverse(T_last))
+    SA_CAP = 256  # see fused_direct_step
+    from ygz_tpu.pipeline.mapping_kernels import _compact
+    sa_idx, sa_valid = _compact(valid_sa, SA_CAP)
     T_rel, _ = align.sparse_image_align(
-        T_vel, last_pyr, cur_pyr, last_uv, pts_last, valid_sa, cam,
-        scales, max_level=min(cfg.n_levels - 1, 3))
+        T_vel, last_pyr, cur_pyr, last_uv[sa_idx], pts_last[sa_idx],
+        sa_valid, cam, scales, max_level=min(cfg.n_levels - 1, 3),
+        min_level=1)
     xi = lie.se3_log(lie.se3_compose(T_rel, lie.se3_inverse(T_vel)))
     sa_ok = jnp.all(jnp.isfinite(xi)) & \
         (jnp.linalg.norm(xi[3:]) <= 0.5) & (jnp.linalg.norm(xi[:3]) <= 1.0)

@@ -262,23 +262,39 @@ def search_local_points_direct(ms: MapState, cand_idx, T_cw, pyr_cur,
     ref_patches = warp_stored_patches(ms.mp_patch[cand_idx], A,
                                       mp_lvl_scale, srch_scale)
 
-    uv_out = jnp.stack([u, v], axis=-1)
-    success = jnp.zeros((C,), bool)
-    for lvl in range(n_levels):
-        sel = valid & (search_level == lvl)
-        s = 1.0 / (scale_factor ** lvl)
-        uv_lvl = jnp.stack([u, v], axis=-1) * s
-        uv_ref_out, conv, ncc = align.align2d(
-            pyr_cur[lvl], ref_patches, uv_lvl, sel, with_score=True)
-        uv0 = uv_ref_out / s
-        moved = jnp.linalg.norm(uv0 - jnp.stack([u, v], -1), axis=-1)
-        # the NCC gate is what makes "converged" mean "matched": on a
-        # corrupted/blank frame KLT steps vanish (singular H) and every
-        # lane would pass the step test with garbage underneath
-        ok = sel & conv & (moved < 10.0 * (scale_factor ** lvl)) \
-            & (ncc > 0.4)
-        uv_out = jnp.where(ok[:, None], uv0, uv_out)
-        success = success | ok
+    # ONE align2d pass over the level ATLAS instead of n_levels masked
+    # passes: each candidate samples its own level's tile (a point at
+    # level l reads atlas pixels at (u_l + xoff[l], v_l)). Cuts the
+    # fused-step cost ~3x at n_levels=4 — align2d is latency-bound in
+    # its GN loop, so fewer calls beat smaller calls.
+    from ygz_tpu.ops.pyramid import atlas_from_pyramid
+    atlas, xoffs = atlas_from_pyramid(pyr_cur)
+    lvl_scale = jnp.asarray([scale_factor ** l for l in range(n_levels)],
+                            jnp.float32)[search_level]
+    xoff = jnp.asarray(xoffs, jnp.float32)[search_level]
+    uv0_in = jnp.stack([u, v], axis=-1)
+    uv_lvl = uv0_in / lvl_scale[:, None]
+    # stay inside the point's own level tile (the atlas has zero gutters,
+    # not an out-of-range guard)
+    m = align.ALIGN_HALF_PATCH + 6.0
+    sizes = [(pyr_cur[l].shape[0], pyr_cur[l].shape[1])
+             for l in range(n_levels)]
+    h_l = jnp.asarray([s[0] for s in sizes], jnp.float32)[search_level]
+    w_l = jnp.asarray([s[1] for s in sizes], jnp.float32)[search_level]
+    inb = (uv_lvl[:, 0] >= m) & (uv_lvl[:, 0] < w_l - m) & \
+          (uv_lvl[:, 1] >= m) & (uv_lvl[:, 1] < h_l - m)
+    sel = valid & inb
+    uv_at = uv_lvl.at[:, 0].add(xoff)
+    uv_ref_out, conv, ncc = align.align2d(
+        atlas, ref_patches, uv_at, sel, with_score=True)
+    uv0 = (uv_ref_out - jnp.stack([xoff, jnp.zeros_like(xoff)], -1)) \
+        * lvl_scale[:, None]
+    moved = jnp.linalg.norm(uv0 - uv0_in, axis=-1)
+    # the NCC gate is what makes "converged" mean "matched": on a
+    # corrupted/blank frame KLT steps vanish (singular H) and every
+    # lane would pass the step test with garbage underneath
+    success = sel & conv & (moved < 10.0 * lvl_scale) & (ncc > 0.4)
+    uv_out = jnp.where(success[:, None], uv0, uv0_in)
     return uv_out, search_level, success, valid
 
 
@@ -330,15 +346,27 @@ def refine_bound_observations(ms: MapState, slot, pyr, cam,
     patches = warp_stored_patches(ms.mp_patch[ids], A, mp_lvl_scale,
                                   srch_scale)
 
-    uv_out = uv_det
-    n_ref = jnp.int32(0)
-    for lvl in range(n_levels):
-        sel = bound & (search_level == lvl)
-        s = 1.0 / (scale_factor ** lvl)
-        uv_new, conv = align.align2d(pyr[lvl], patches, uv_det * s, sel)
-        uv0 = uv_new / s
-        moved = jnp.linalg.norm(uv0 - uv_det, axis=-1)
-        ok = sel & conv & (moved < max_move * (scale_factor ** lvl))
-        uv_out = jnp.where(ok[:, None], uv0, uv_out)
-        n_ref = n_ref + jnp.sum(ok.astype(jnp.int32))
-    return uv_out, n_ref
+    # single align2d pass over the level atlas (see
+    # search_local_points_direct for the layout)
+    from ygz_tpu.ops.pyramid import atlas_from_pyramid
+    atlas, xoffs = atlas_from_pyramid(pyr)
+    lvl_scale = jnp.asarray([scale_factor ** l for l in range(n_levels)],
+                            jnp.float32)[search_level]
+    xoff = jnp.asarray(xoffs, jnp.float32)[search_level]
+    uv_lvl = uv_det / lvl_scale[:, None]
+    m = align.ALIGN_HALF_PATCH + 6.0
+    h_l = jnp.asarray([pyr[l].shape[0] for l in range(n_levels)],
+                      jnp.float32)[search_level]
+    w_l = jnp.asarray([pyr[l].shape[1] for l in range(n_levels)],
+                      jnp.float32)[search_level]
+    inb = (uv_lvl[:, 0] >= m) & (uv_lvl[:, 0] < w_l - m) & \
+          (uv_lvl[:, 1] >= m) & (uv_lvl[:, 1] < h_l - m)
+    sel = bound & inb
+    uv_new, conv = align.align2d(atlas, patches,
+                                 uv_lvl.at[:, 0].add(xoff), sel)
+    uv0 = (uv_new - jnp.stack([xoff, jnp.zeros_like(xoff)], -1)) \
+        * lvl_scale[:, None]
+    moved = jnp.linalg.norm(uv0 - uv_det, axis=-1)
+    ok = sel & conv & (moved < max_move * lvl_scale)
+    uv_out = jnp.where(ok[:, None], uv0, uv_det)
+    return uv_out, jnp.sum(ok.astype(jnp.int32))

@@ -370,7 +370,7 @@ def _gather_local_problem(ms, sel, kf_mask, kf_fixed, local_ids, mp_mask,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _local_ba_jit(prob, cfg: SlamConfig):
-    return ba.local_bundle_adjustment(prob, cfg.camera)
+    return ba.local_bundle_adjustment(prob, cfg.camera, kf_major=True)
 
 
 @jax.jit

@@ -169,7 +169,10 @@ def cull_and_triangulate(ms, ring_ids, ring_born, head, kf_count, slot,
     age = kf_count - ring_born
     ratio = ms.mp_found[rid].astype(jnp.float32) / \
         jnp.maximum(ms.mp_visible[rid], 1).astype(jnp.float32)
-    kill = live & ((ratio < 0.25) | ((age >= 2) & (ms.mp_obs_count[rid] <= 2))) & False  # XXX-EXPERIMENT
+    # found-ratio < 0.25, or too few KF observations after 2 keyframes
+    # (reference MapPointCulling, /root/reference/src/LocalMapping.cc:
+    # 930-964; cnFoundRatio 0.25f, nObs <= cnThObs after 2 KFs)
+    kill = live & ((ratio < 0.25) | ((age >= 2) & (ms.mp_obs_count[rid] <= 2)))
     graduate = live & ~kill & (age >= 3)
     n_killed = jnp.sum(kill.astype(jnp.int32))
 
@@ -483,7 +486,8 @@ def local_ba_step(ms, slot, cfg: SlamConfig):
     prob, obs_src = _gather_local_problem(
         ms, jnp.maximum(sel, 0), sel_valid, kf_fixed, lp, mp_mask_l,
         jnp.asarray(cfg.inv_level_sigma2))
-    prob2, inlier = ba.local_bundle_adjustment(prob, cfg.camera)
+    prob2, inlier = ba.local_bundle_adjustment(prob, cfg.camera,
+                                               kf_major=True)
 
     ok = (n_win >= 2) & (n_pts >= 20)
     finq = jnp.all(jnp.isfinite(prob2.kf_q), axis=-1) & \

@@ -716,7 +716,8 @@ class Tracker:
             kf_q=self.ms.kf_q, kf_t=self.ms.kf_t, mp=self.ms.mp_pos, obs=obs,
             kf_fixed=jnp.zeros((cfg.max_keyframes,), bool).at[0].set(True),
             kf_mask=self.ms.kf_mask, mp_mask=self.ms.mp_mask)
-        prob = ba.global_bundle_adjustment(prob, cfg.camera, iters=iters)
+        prob = ba.global_bundle_adjustment(prob, cfg.camera, iters=iters,
+                                           kf_major=True)
         return dataclasses.replace(self.ms, kf_q=prob.kf_q, kf_t=prob.kf_t,
                                    mp_pos=prob.mp)
 
