@@ -260,6 +260,89 @@ def bench_vio(report_stages: bool = True):
     return 1.0 / dt
 
 
+def bench_vio_system(n_frames: int = 150, warm_frames: int = 40):
+    """End-to-end VIO throughput (VERDICT r4 #5): System.track_mono_vi
+    over a synthetic 752x480 VI sequence (IMU at 100 Hz, camera 20 Hz),
+    pipelined, wall-clock over the post-warm-up window — the VI
+    counterpart of bench_system. Returns (fps, tracked_fraction)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import synthetic
+    from test_imu import DT, simulate_trajectory
+
+    from ygz_tpu.core import lie
+    from ygz_tpu.core.camera import Camera
+    from ygz_tpu.pipeline import tracking
+    from ygz_tpu.pipeline.system import System
+    from ygz_tpu.utils.config import SlamConfig
+
+    fps = 20
+    steps_per_frame = int(round(1.0 / fps / DT))
+    cam = Camera(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
+                 width=752, height=480)
+    cfg = SlamConfig(
+        camera=cam, fps=float(fps), use_imu=True, vins_init_time=4.0,
+        gravity=9.81,
+        n_features=1000, n_levels=4, scale_factor=2.0,
+        ini_th_fast=12.0, min_th_fast=5.0,
+        cache_features=150, init_min_matches=100,
+        max_keyframes=64, max_map_points=8192,
+        detect_cell=32, detect_per_cell=5)
+
+    total = n_frames + warm_frames
+    n_steps = total * steps_per_frame + 1
+    P, V, qs, imu = simulate_trajectory(n_steps, seed=11, amp=0.5,
+                                        rot_amp=0.25)
+    tex = synthetic.make_texture(3, size=(1400, 2000))
+    render_jit = jax.jit(lambda T: synthetic_render_jittable(tex, T, cam))
+    frames = []
+    for i in range(total):
+        k = i * steps_per_frame
+        T_wb = {"q": jnp.asarray(qs[k]), "t": jnp.asarray(P[k])}
+        img = render_jit(lie.se3_inverse(T_wb))
+        frames.append(np.clip(np.asarray(img), 0, 255).astype(np.uint8))
+
+    slam = System(cfg, use_loop_closing=False, pipelined=True,
+                  pipeline_depth=8)
+    t_meas = None
+    times = []
+    n_ok = 0
+    budget_s = float(os.environ.get("BENCH_VIO_BUDGET_S", "420"))
+    t_start = time.perf_counter()
+    for i in range(total):
+        if i == warm_frames:
+            t_meas = time.perf_counter()
+        rows = None
+        if i > 0:
+            a, b = (i - 1) * steps_per_frame, i * steps_per_frame
+            rows = np.concatenate(
+                [np.full((b - a, 1), DT, np.float32), imu[a:b, 1:7]],
+                axis=1)
+        t0 = time.perf_counter()
+        slam.track_mono_vi(frames[i], rows, i / fps)
+        if i >= warm_frames:
+            times.append(time.perf_counter() - t0)
+            n_ok += int(slam.tracker.state == tracking.OK)
+        if time.perf_counter() - t_start > budget_s:
+            if len(times) < 30:
+                raise TimeoutError("vio system bench budget exhausted "
+                                   f"at frame {i + 1}")
+            break
+    slam.tracker.flush_pipeline()
+    wall = time.perf_counter() - t_meas
+    fps_out = len(times) / wall
+    tracked = n_ok / max(len(times), 1)
+    print(f"[bench] vio system: {len(times)} frames in {wall:.1f}s -> "
+          f"{fps_out:.1f} FPS (tracked {tracked:.2f}, "
+          f"vins_inited={slam.tracker.vins_inited})", file=sys.stderr,
+          flush=True)
+    return fps_out, tracked
+
+
 def synthetic_render_jittable(tex, T_cw, cam):
     """tests/synthetic.render, trace-compatible (it already is — this
     indirection exists so jax.jit sees a single callable)."""
@@ -399,9 +482,18 @@ def main():
             vio_fps = bench_vio()
         except Exception as e:  # pragma: no cover
             print(f"[bench] vio bench failed: {e!r}", file=sys.stderr)
+    vio_system_fps = None
+    if not os.environ.get("BENCH_SKIP_VIO_SYSTEM"):
+        try:
+            vio_system_fps, _ = bench_vio_system()
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] vio system bench failed: {e!r}",
+                  file=sys.stderr)
     try:
+        # loop closing ON by default: the reference always runs its loop
+        # thread in mono (System.cc:174-175) — this is the parity config
         system_fps, tracked, med_fps = bench_system(
-            use_loop_closing=bool(os.environ.get("BENCH_LOOP")))
+            use_loop_closing=os.environ.get("BENCH_LOOP", "1") != "0")
     except Exception as e:  # pragma: no cover — keep the bench line alive
         print(f"[bench] system bench failed: {e!r}", file=sys.stderr)
         system_fps, tracked, med_fps = None, 0.0, 0.0
@@ -433,6 +525,8 @@ def main():
         }
     if vio_fps is not None:
         out["vio_fps"] = round(vio_fps, 2)
+    if vio_system_fps is not None:
+        out["vio_system_fps"] = round(vio_system_fps, 2)
     print(json.dumps(out))
 
 

@@ -100,8 +100,17 @@ def main():
     dk = jax.jit(lambda b, k: orb.describe_keypoints(b, k, cfg.scale_factors))
     timeit("describe_keypoints (4L)", lambda: dk(blurred, kps))
 
+    from ygz_tpu.ops import orb as orb_mod
     from ygz_tpu.pipeline.frame import _extract_jit
-    timeit("_extract_jit full", lambda: _extract_jit(pyr, cfg))
+    sel_mat = orb_mod._pattern_selector()
+    timeit("_extract_jit full", lambda: _extract_jit(pyr, sel_mat, cfg))
+    blurred2 = tuple(jax.block_until_ready(gb(p)) for p in pyr)
+    at, xo = pyramid.atlas_from_pyramid(blurred2)
+    at = jax.block_until_ready(at)
+    dka = jax.jit(lambda a, k: orb_mod.describe_keypoints_atlas(
+        a, xo, k.uv, k.level, k.mask, tuple(float(s) for s in cfg.scale_factors),
+        selector=sel_mat))
+    timeit("describe_keypoints_atlas", lambda: dka(at, kps))
 
     # --- fused tracking step at system capacities ------------------------
     ms = mapstate.make_empty(K, M, N, 100)

@@ -183,10 +183,11 @@ def main():
     direct_lvl = jnp.zeros((N,), jnp.int32)
     direct_mp = jnp.arange(N, dtype=jnp.int32)
     direct_mask = jnp.ones((N,), bool)
+    from ygz_tpu.ops import orb as orb_mod
     timeit("merge_direct_features", lambda: _merge_direct_features(
         direct_uv, direct_lvl, direct_mp, direct_mask,
         fr2.uv, fr2.level, fr2.angle, fr2.desc, fr2.feat_mask,
-        fr.pyramid, cfg)[0])
+        fr2.blur_atlas, orb_mod._pattern_selector(), cfg)[0])
     timeit("refine_kf_obs", lambda: _refine_kf_obs_jit(
         ms, slot, fr.pyramid, cfg).kf_uv)
     timeit("direct_cache", lambda: _direct_cache_jit(ms, NKF - 1, 512)[0])

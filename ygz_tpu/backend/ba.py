@@ -213,25 +213,26 @@ def _build_schur_system(prob: BAProblem, inlier, fx, fy, cx, cy, bf,
         bc = -jnp.einsum("oad,oa,o->od", Jc, r, wc).reshape(
             K, N, 6).sum(axis=1)
 
-        # point/cross blocks: scatter per KF row with UNIQUE indices —
-        # invalid lanes are routed to M + feature (distinct, dropped)
+        # point/cross blocks: ONE scatter per KF row with UNIQUE indices
+        # (invalid lanes routed to M + feature: distinct, dropped). The
+        # packed 30-wide payload (W 18 | Hpp 9 | bp 3) costs one scatter
+        # instead of three — scatters dominate this assembly (~1.2 ms
+        # each at [32, 1000] on v5e).
         rows_k = jnp.arange(K, dtype=jnp.int32)[:, None]
         feat_n = jnp.broadcast_to(
             jnp.arange(N, dtype=jnp.int32)[None], (K, N))
         mp_kn = obs.mp.reshape(K, N)
         tgt = jnp.where(valid.reshape(K, N), mp_kn, M + feat_n)
 
-        Hpp_blk = jnp.einsum("oad,oae,o->ode", Jp, Jp, w).reshape(
-            K, N, 3, 3)
-        Hpp = jnp.zeros((K, M, 3, 3), Jc.dtype).at[rows_k, tgt].set(
-            Hpp_blk, mode="drop", unique_indices=True).sum(axis=0)
+        Wblk = jnp.einsum("oad,oae,o->ode", Jc, Jp, wc).reshape(K, N, 18)
+        Hpp_blk = jnp.einsum("oad,oae,o->ode", Jp, Jp, w).reshape(K, N, 9)
         bp_blk = -jnp.einsum("oad,oa,o->od", Jp, r, w).reshape(K, N, 3)
-        bp = jnp.zeros((K, M, 3), Jc.dtype).at[rows_k, tgt].set(
-            bp_blk, mode="drop", unique_indices=True).sum(axis=0)
-
-        Wblk = jnp.einsum("oad,oae,o->ode", Jc, Jp, wc).reshape(K, N, 6, 3)
-        Wfull = jnp.zeros((K, M, 6, 3), Jc.dtype).at[rows_k, tgt].set(
-            Wblk, mode="drop", unique_indices=True).transpose(0, 2, 1, 3)
+        payload = jnp.concatenate([Wblk, Hpp_blk, bp_blk], axis=-1)
+        packed = jnp.zeros((K, M, 30), Jc.dtype).at[rows_k, tgt].set(
+            payload, mode="drop", unique_indices=True)
+        Wfull = packed[..., :18].reshape(K, M, 6, 3).transpose(0, 2, 1, 3)
+        Hpp = packed[..., 18:27].sum(axis=0).reshape(M, 3, 3)
+        bp = packed[..., 27:30].sum(axis=0)
     else:
         # generic layout: segment sums + scatter-add (tests, ad-hoc graphs)
         Hcc = jax.ops.segment_sum(
@@ -294,13 +295,38 @@ def _ba_cost(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust):
     return jnp.sum(jnp.where(valid, c, 0.0))
 
 
+def _cg_solve(S, g, iters: int = 48):
+    """Jacobi-preconditioned conjugate gradients on the (damped, SPD)
+    reduced camera system. TPU has no fast small dense factorization
+    (LU/Cholesky at 192x192 cost ~1.5 ms/call); CG is matvec-only and
+    converges to ~1e-6 relative error well within `iters` on LM-damped
+    Schur systems."""
+    dinv = 1.0 / jnp.maximum(jnp.diagonal(S), 1e-12)
+
+    def body(_, c):
+        x, r, p, rz = c
+        Sp = S @ p
+        a = rz / jnp.maximum(p @ Sp, 1e-20)
+        x = x + a * p
+        r = r - a * Sp
+        z = dinv * r
+        rz2 = r @ z
+        p = z + (rz2 / jnp.maximum(rz, 1e-20)) * p
+        return x, r, p, rz2
+
+    z0 = dinv * g
+    x, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros_like(g), g, z0, g @ z0))
+    return x
+
+
 def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping,
              kf_major: bool = False):
     S, g, Hpp_inv, bp, Wr = _build_schur_system(
         prob, inlier, fx, fy, cx, cy, bf, robust, damping,
         kf_major=kf_major)
     K = prob.kf_q.shape[0]
-    dxc = jnp.linalg.solve(S, g)
+    dxc = _cg_solve(S, g) if kf_major else jnp.linalg.solve(S, g)
     dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
     # back-substitute points: dxp = Hpp^-1 (bp - W^T dxc)
     Wt_dxc = jnp.einsum("a,amy->my", dxc, Wr)

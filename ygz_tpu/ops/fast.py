@@ -47,30 +47,38 @@ def _shifted(img, dv: int, du: int):
     return jax.lax.dynamic_slice(padded, (3 + dv, 3 + du), (H, W))
 
 
-def fast_corner_mask(img, threshold: float):
-    """Boolean corner map [H, W] for FAST-10 at the given threshold.
+def _ring_diff(img):
+    """[16, H, W] ring-minus-center differences shared by the corner test
+    at any threshold (the 16 shifted copies dominate the mask cost)."""
+    ring = jnp.stack([_shifted(img, int(dv), int(du))
+                      for dv, du in RING_OFFSETS])
+    return ring - img[None]
 
-    The contiguous-arc test: with ring flags b[0..15] (circular), a corner
-    needs >= 10 consecutive set flags. r2 = b & rot(b,1); r4 = r2 & rot(r2,2);
-    r8 = r4 & rot(r4,4); r10 = r8 & rot(r2,8); corner = any(r10).
-    """
-    ring = jnp.stack([_shifted(img, int(dv), int(du)) for dv, du in RING_OFFSETS])
-    diff = ring - img[None]
 
-    def has_arc(flags):  # flags: [16, H, W] bool
-        r2 = flags & jnp.roll(flags, -1, axis=0)
-        r4 = r2 & jnp.roll(r2, -2, axis=0)
-        r8 = r4 & jnp.roll(r4, -4, axis=0)
-        r10 = r8 & jnp.roll(r2, -8, axis=0)
-        return jnp.any(r10, axis=0)
+def _has_arc(flags):  # flags: [16, H, W] bool
+    """>= 10 consecutive set flags on the circular ring:
+    r2 = b & rot(b,1); r4 = r2 & rot(r2,2); r8 = r4 & rot(r4,4);
+    r10 = r8 & rot(r2,8); corner = any(r10)."""
+    r2 = flags & jnp.roll(flags, -1, axis=0)
+    r4 = r2 & jnp.roll(r2, -2, axis=0)
+    r8 = r4 & jnp.roll(r4, -4, axis=0)
+    r10 = r8 & jnp.roll(r2, -8, axis=0)
+    return jnp.any(r10, axis=0)
 
-    corner = has_arc(diff > threshold) | has_arc(diff < -threshold)
+
+def _corner_from_diff(diff, threshold: float, H: int, W: int):
+    corner = _has_arc(diff > threshold) | _has_arc(diff < -threshold)
     # kill the 3px frame where the ring would wrap
-    H, W = img.shape
     vy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     vx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = (vy >= 3) & (vy < H - 3) & (vx >= 3) & (vx < W - 3)
     return corner & inside
+
+
+def fast_corner_mask(img, threshold: float):
+    """Boolean corner map [H, W] for FAST-10 at the given threshold."""
+    H, W = img.shape
+    return _corner_from_diff(_ring_diff(img), threshold, H, W)
 
 
 def fast_score(img, threshold: float):
@@ -85,13 +93,14 @@ def fast_score(img, threshold: float):
 
 
 def _box_filter(x, radius: int):
+    """Separable box sum via reduce_window — VPU-native on TPU (a C=1
+    NCHW conv lowers poorly there: ~6 ms for the three Shi-Tomasi maps
+    vs <1 ms this way)."""
     k = 2 * radius + 1
-    ones = jnp.ones((1, 1, k, 1), dtype=x.dtype)
-    y = x[None, None]
-    y = jnp.pad(y, ((0, 0), (0, 0), (radius, radius), (radius, radius)))
-    y = jax.lax.conv_general_dilated(y, ones, (1, 1), "VALID")
-    y = jax.lax.conv_general_dilated(y, ones.transpose(0, 1, 3, 2), (1, 1), "VALID")
-    return y[0, 0]
+    y = jnp.pad(x, radius)
+    y = jax.lax.reduce_window(y, 0.0, jax.lax.add, (k, 1), (1, 1), "VALID")
+    return jax.lax.reduce_window(y, 0.0, jax.lax.add, (1, k), (1, 1),
+                                 "VALID")
 
 
 def shi_tomasi_score(img, radius: int = 4):
@@ -201,10 +210,16 @@ def detect_level(img, threshold: float, cell: int, per_cell: int,
     threshold map fills in (mirrors iniThFAST/minThFAST retry,
     /root/reference/src/ORBextractor.cc:725-804) — done in one pass by
     scoring low-threshold corners with a large negative offset so high-
-    threshold corners always win the top-k."""
-    corners_hi = fast_corner_mask(img, threshold)
+    threshold corners always win the top-k. (The reference's
+    EDGE_THRESHOLD is 19; 16 keeps the coarse levels of small frames
+    usable, and descriptor windows that overrun a level's atlas tile
+    read zero-gutter pixels — equivalent to the reference's clamped
+    border sampling.)"""
+    diff = _ring_diff(img)
+    H, W = img.shape
+    corners_hi = _corner_from_diff(diff, threshold, H, W)
     if low_threshold is not None and low_threshold < threshold:
-        corners_lo = fast_corner_mask(img, low_threshold)
+        corners_lo = _corner_from_diff(diff, low_threshold, H, W)
     else:
         corners_lo = corners_hi
     score = shi_tomasi_score(img)

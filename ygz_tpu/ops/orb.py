@@ -71,6 +71,7 @@ def set_pattern(pattern: np.ndarray):
     """Install an external [256, 4] int32 pattern (e.g. OpenCV's) globally."""
     global _PATTERN_OVERRIDE
     _PATTERN_OVERRIDE = np.asarray(pattern, dtype=np.int32)
+    invalidate_selector_cache()
 
 
 def get_pattern() -> np.ndarray:
@@ -142,6 +143,112 @@ def compute_descriptors(img_blurred, uv, angle, mask):
     words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
     desc = jnp.sum(words, axis=2).astype(jnp.uint32)  # [N, 8]
     return jnp.where(mask[:, None], desc, 0)
+
+
+# ---------------------------------------------------------------------------
+# atlas fast path: one block-gather pass + one MXU matmul for all keypoints
+# ---------------------------------------------------------------------------
+# The per-level flat-gather describe pass costs ~44 ms for 1000 keypoints on
+# v5e (element gathers are the slowest primitive on TPU, and every level
+# re-gathers all N). This path:
+#   * samples each keypoint ONCE from a packed atlas of the blurred levels
+#     (ops.pyramid.atlas_from_pyramid) via 2D block gathers — an order of
+#     magnitude faster than element gathers (see ops/interp.py);
+#   * quantizes the steering angle to ANGLE_BINS rotations (the original
+#     ORB paper's 2pi/30 discretization; the reference rotates per-point)
+#     and evaluates ALL rotated patterns as one [N, P] x [P, BINS*256]
+#     matmul on the MXU with a +1/-1 selection matrix, then picks each
+#     keypoint's bin — 11 GFLOPs of dense work beating 512k random gathers.
+
+ANGLE_BINS = 30
+DESC_BLOCK = 38        # block side covering rotated offsets in [-19, 18]
+_DESC_HALF = 19
+
+
+@functools.lru_cache(maxsize=4)
+def _pattern_selector_np(seed: int = -1):
+    """[DESC_BLOCK^2, ANGLE_BINS*256] float32: column b*256+k holds +1 at
+    the rotated q-offset of pair k under bin-b rotation and -1 at the
+    rotated p-offset (so patch @ Sel = I_q - I_p; bit = result > 0)."""
+    pat = (get_pattern() if seed < 0 else _brief_pattern(seed)).astype(
+        np.float64)
+    sel = np.zeros((DESC_BLOCK * DESC_BLOCK, ANGLE_BINS * 256), np.float32)
+    for b in range(ANGLE_BINS):
+        th = 2.0 * np.pi * b / ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+
+        def flat(x, y):
+            rx = np.round(x * ca - y * sa).astype(np.int64) + _DESC_HALF
+            ry = np.round(x * sa + y * ca).astype(np.int64) + _DESC_HALF
+            return ry * DESC_BLOCK + rx
+
+        ip = flat(pat[:, 0], pat[:, 1])
+        iq = flat(pat[:, 2], pat[:, 3])
+        cols = b * 256 + np.arange(256)
+        np.add.at(sel, (iq, cols), 1.0)
+        np.add.at(sel, (ip, cols), -1.0)
+    return sel
+
+
+_SELECTOR_DEV = None
+
+
+def _pattern_selector():
+    global _SELECTOR_DEV
+    if _SELECTOR_DEV is None:
+        _SELECTOR_DEV = jax.device_put(_pattern_selector_np())
+    return _SELECTOR_DEV
+
+
+def invalidate_selector_cache():
+    """Call after set_pattern() so the atlas path picks up the new table."""
+    global _SELECTOR_DEV
+    _SELECTOR_DEV = None
+    _pattern_selector_np.cache_clear()
+
+
+def describe_keypoints_atlas(blur_atlas, xoffs, uv0, level, mask, scales,
+                             selector=None):
+    """Orientation + descriptors for all keypoints in ONE pass over the
+    packed blurred-level atlas. uv0 [N,2] level-0 coords; level [N];
+    xoffs: static per-level atlas x-offsets. Returns (angles, descs).
+
+    Semantics match compute_orientations/compute_descriptors up to the
+    ANGLE_BINS steering quantization (see module comment)."""
+    from ygz_tpu.ops.interp import gather_blocks
+    scales_j = jnp.asarray(scales)[level]
+    xoff = jnp.asarray(xoffs, jnp.float32)[level]
+    uv = uv0 / scales_j[:, None]
+    ui = jnp.round(uv[:, 0] + xoff).astype(jnp.int32)
+    vi = jnp.round(uv[:, 1]).astype(jnp.int32)
+
+    # orientation: intensity-centroid moments over the 31x31 disc
+    r = HALF_PATCH
+    blocks_o = gather_blocks(blur_atlas, vi - r, ui - r,
+                             2 * r + 1, 2 * r + 1)       # [N, 31, 31]
+    xs_w, ys_w, _ = _ic_angle_weights()
+    flat_o = blocks_o.reshape(blocks_o.shape[0], -1)
+    m10 = flat_o @ jnp.asarray(xs_w).reshape(-1)
+    m01 = flat_o @ jnp.asarray(ys_w).reshape(-1)
+    ang = jnp.where(mask, jnp.arctan2(m01, m10), 0.0)
+
+    # descriptors: 38x38 block per keypoint, all rotations as one matmul
+    if selector is None:
+        selector = _pattern_selector()
+    blocks_d = gather_blocks(blur_atlas, vi - _DESC_HALF, ui - _DESC_HALF,
+                             DESC_BLOCK, DESC_BLOCK)
+    flat_d = blocks_d.reshape(blocks_d.shape[0], -1)     # [N, 1444]
+    diffs = flat_d @ selector                            # [N, BINS*256]
+    two_pi = 2.0 * jnp.pi
+    bin_f = jnp.mod(ang, two_pi) / (two_pi / ANGLE_BINS)
+    b = jnp.mod(jnp.round(bin_f).astype(jnp.int32), ANGLE_BINS)
+    d_sel = jnp.take_along_axis(
+        diffs.reshape(-1, ANGLE_BINS, 256), b[:, None, None], axis=1)[:, 0]
+    bits = (d_sel > 0).astype(jnp.uint32)                # [N, 256]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
+    desc = jnp.sum(words, axis=2).astype(jnp.uint32)
+    return ang, jnp.where(mask[:, None], desc, 0)
 
 
 def describe_keypoints(pyr_blurred, keypoints, scales):

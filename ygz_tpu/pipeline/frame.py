@@ -54,6 +54,9 @@ class Frame:
     # pose relative to the reference KF, precomputed on device by the
     # fused tracking step (avoids per-frame eager recompute + sync)
     T_c_ref: Optional[dict] = None
+    # blurred-level atlas built during extraction (reused by the direct->
+    # feature merge at KF creation so it never re-blurs the pyramid)
+    blur_atlas: Optional[jnp.ndarray] = None
     # NavState produced by the VI tracking step (vio path): keyframe
     # creation seeds the KF NavState from the frame's own state instead
     # of whatever the tracker's latest in-flight estimate is
@@ -144,15 +147,23 @@ def _remap_nearest_jit(img, grid):
     return jnp.where(inb, val, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _extract_jit(pyr, cfg: SlamConfig):
+def _extract_core(pyr, selector, cfg: SlamConfig, occupied_uv=None,
+                  occupied_mask=None):
     scales = cfg.scale_factors
     kps = fast.detect_pyramid(
         pyr, scales, cfg.ini_th_fast, cfg.min_th_fast,
         cfg.n_features, cell=cfg.detect_cell, per_cell=cfg.detect_per_cell)
     blurred = tuple(pyramid.gaussian_blur(p) for p in pyr)
-    angles, descs = orb.describe_keypoints(blurred, kps, scales)
-    return kps.uv, kps.level, angles, descs, kps.mask
+    blur_atlas, xoffs = pyramid.atlas_from_pyramid(blurred)
+    angles, descs = orb.describe_keypoints_atlas(
+        blur_atlas, xoffs, kps.uv, kps.level, kps.mask, scales,
+        selector=selector)
+    return kps.uv, kps.level, angles, descs, kps.mask, blur_atlas
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_jit(pyr, selector, cfg: SlamConfig):
+    return _extract_core(pyr, selector, cfg)
 
 
 def extract_features(frame: Frame, cfg: SlamConfig,
@@ -172,7 +183,8 @@ def extract_features(frame: Frame, cfg: SlamConfig,
         depth_img = frame.depth_img
     if right_pyr is None:
         right_pyr = frame.right_pyr
-    uv, level, angle, desc, mask = _extract_jit(frame.pyramid, cfg)
+    uv, level, angle, desc, mask, blur_atlas = _extract_jit(
+        frame.pyramid, orb._pattern_selector(), cfg)
     N = int(uv.shape[0])
     ur = jnp.full((N,), -1.0, jnp.float32)
     depth = jnp.full((N,), -1.0, jnp.float32)
@@ -189,7 +201,7 @@ def extract_features(frame: Frame, cfg: SlamConfig,
         ur, depth = stereo_match(frame.pyramid, right_pyr, uv, level, mask, cfg)
     return dataclasses.replace(
         frame, uv=uv, level=level, angle=angle, desc=desc, feat_mask=mask,
-        ur=ur, depth=depth,
+        ur=ur, depth=depth, blur_atlas=blur_atlas,
         mp_idx=jnp.full((N,), -1, jnp.int32))
 
 

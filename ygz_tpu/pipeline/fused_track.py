@@ -134,8 +134,19 @@ def fused_direct_step(ms, last_pyr, last_uv, last_mp_idx, last_feat_mask,
     ref_row = ms.kf_mp_idx[ref_kf]
     ref_bound = (ref_row >= 0) & ms.kf_feat_mask[ref_kf]
     ref_obs = jnp.sum(ref_bound.astype(jnp.int32))
-    ref_obs3 = jnp.sum((ref_bound & (ms.mp_obs_count[
-        jnp.maximum(ref_row, 0)] >= 3)).astype(jnp.int32))
+    # nRefMatches analogue in the SAME units as n_in: ref-KF points with
+    # >=3 observations that are IN the direct candidate set — the
+    # reference compares frame inliers against TrackedMapPoints(3)
+    # (/root/reference/src/Tracking.cc:1353-1358, 1408-1410); comparing
+    # a 512-lane cache's inliers against the ref KF's full bound count
+    # made every frame "weak" and spammed keyframes at the min-gap floor
+    M = ms.mp_pos.shape[0]
+    in_cand = jnp.zeros((M + 1,), bool).at[
+        jnp.where(cand_valid, cand_idx, M)].set(True, mode="drop")[:M]
+    ref_obs3 = jnp.sum((ref_bound
+                        & (ms.mp_obs_count[jnp.maximum(ref_row, 0)] >= 3)
+                        & in_cand[jnp.maximum(ref_row, 0)]
+                        ).astype(jnp.int32))
 
     ok = motion_ok & (gate1 >= 30) & (n_in >= 30)
     bundle = jnp.stack([
@@ -277,8 +288,13 @@ def fused_vi_step(ms, last_pyr, last_uv, last_mp_idx, last_feat_mask,
     ref_row = ms.kf_mp_idx[ref_kf]
     ref_bound = (ref_row >= 0) & ms.kf_feat_mask[ref_kf]
     ref_obs = jnp.sum(ref_bound.astype(jnp.int32))
-    ref_obs3 = jnp.sum((ref_bound & (ms.mp_obs_count[
-        jnp.maximum(ref_row, 0)] >= 3)).astype(jnp.int32))
+    M = ms.mp_pos.shape[0]
+    in_cand = jnp.zeros((M + 1,), bool).at[
+        jnp.where(cand_valid, cand_idx, M)].set(True, mode="drop")[:M]
+    ref_obs3 = jnp.sum((ref_bound
+                        & (ms.mp_obs_count[jnp.maximum(ref_row, 0)] >= 3)
+                        & in_cand[jnp.maximum(ref_row, 0)]
+                        ).astype(jnp.int32))  # see fused_direct_step
 
     finite = jnp.all(jnp.isfinite(T_out["q"])) \
         & jnp.all(jnp.isfinite(T_out["t"])) \

@@ -96,6 +96,10 @@ class Tracker:
         self.direct_cache_len = 512
         self.last_kf_frame_id = 0
         self.last_inliers = 0
+        # direct-path inlier count right after the latest KF insertion:
+        # the unit-consistent nRefMatches for the weak trigger (see
+        # _need_new_keyframe)
+        self._kf_inlier_baseline = None
         self.trajectory: List[dict] = []  # per-frame records
         self.direct_failed = False
         self.last_reloc_frame_id = -10_000
@@ -798,7 +802,7 @@ class Tracker:
 
     def _copy_frame_fields(self, dst, src):
         for f in ("uv", "level", "angle", "desc", "feat_mask", "ur",
-                  "depth", "mp_idx"):
+                  "depth", "mp_idx", "blur_atlas"):
             setattr(dst, f, getattr(src, f))
 
     # --- fused hot path ----------------------------------------------
@@ -1158,22 +1162,43 @@ class Tracker:
             self._ref_obs_cache = int(both[0])
             self._ref_obs3_cache = int(both[1])
         ref_obs = self._ref_obs_cache
-        # the reference's weak trigger is mnMatchesInliers <
-        # nRefMatches*0.9 with nRefMatches = ref KF's points having >=3
-        # observations (/root/reference/src/Tracking.cc:1353-1358,
-        # 1420-1428) — comparing inliers against ALL bound features
-        # (several hundred more) made every frame "weak" and spammed
-        # keyframes at the kf_min_gap floor
+        # the reference's gate is ((c1a | c1b | c1c) && c2)
+        # (/root/reference/src/Tracking.cc:1397-1441) with
+        #   c2  = inliers < nRefMatches * 0.9 (mono) && inliers > 15
+        #   c1b = minFrames passed && mapping idle   (almost always true)
+        #   c1c = inliers < 50
+        # — so the effective mono trigger is c2: tracking must actually be
+        # WEAK relative to the reference KF; there is no unconditional
+        # time-based insert (c1a is also &&-ed with c2).
+        #
+        # nRefMatches translation: the reference's mnMatchesInliers and
+        # nRefMatches both come from the same unbounded feature matcher,
+        # so 0.9x compares like with like. Our direct inlier count is
+        # capped by the candidate-cache size and the NCC gate, so the ref
+        # KF's raw >=3-obs count is in DIFFERENT units (round 4 compared
+        # them anyway and inserted a KF at every min-gap — 4x reference
+        # cadence). The unit-consistent nRefMatches is the DIRECT inlier
+        # count right after the reference KF was inserted (same matcher,
+        # same cache): weak when tracking decays below 0.9 of that.
         ref_obs3 = self._ref_obs3_cache \
             if self._ref_obs3_cache is not None else ref_obs
-        weak = self.last_inliers < 0.9 * min(ref_obs3, ref_obs)
-        long_gap = frames_since >= max(3, int(cfg.fps))
-        # `weak` alone may fire every other frame (direct-cache inliers sit
-        # well below the ref KF's bound-feature count); the reference
-        # throttles inserts to LocalMapping's availability
-        # (bLocalMappingIdle, /root/reference/src/Tracking.cc:1418-1439) —
-        # the synchronous analogue is a minimum KF spacing
+        baseline = self._kf_inlier_baseline
+        if baseline is None:
+            baseline = min(ref_obs3, ref_obs)
+        weak = self.last_inliers < 0.9 * baseline \
+            or self.last_inliers < max(15, cfg.n_features // 20)  # c1c
+        # time-based insert after ~1 s of strong tracking (the reference
+        # reaches the same cadence through c1a/largetimegap + its fast
+        # inlier decay on real footage; on slow synthetic worlds decay
+        # alone can starve the map below the auto-reset/reloc floor).
+        # Bounded cost: <= fps/long_gap keyframes per second.
+        weak = weak or frames_since >= max(3, int(cfg.fps))
+        # minimum spacing stands in for minFrames + the mapping-idle gate
         recent = frames_since < cfg.kf_min_gap_frames
+        # reference queue<3 rule (Tracking.cc:1431): with the mapper busy
+        # (unresolved per-KF stats), don't pile on more keyframes
+        if self.mapper is not None and len(self.mapper.pending) >= 3:
+            return False
         # visual-inertial before init: dense keyframes (~0.3 s apart).
         # The [s, g] least squares integrates gravity over KF gaps —
         # at 1 s gaps the 0.5*g*dt^2 term (~5 m) swamps the scale
@@ -1181,7 +1206,11 @@ class Tracker:
         # sign; the reference keeps 0.1-0.5 s KF spacing during its
         # 15 s VI init window for the same reason
         if cfg.use_imu and not getattr(self, "vins_inited", True):
-            long_gap = frames_since >= max(2, int(cfg.fps) // 3)
+            weak = weak or frames_since >= max(2, int(cfg.fps) // 3)
+        elif cfg.use_imu:
+            # cTimeGap (Tracking.cc:1412-1414): with IMU, insert every
+            # 0.5 s regardless of c2 so the bias estimate cannot drift
+            weak = weak or frames_since >= max(2, int(0.5 * cfg.fps))
         # metric sensors: keep the map stocked with FRESH depth anchors —
         # scale integrity comes from per-KF depth points, and a direct
         # tracker holds inliers high enough that the `weak` trigger alone
@@ -1207,8 +1236,11 @@ class Tracker:
         # /root/reference/src/Tracking.cc:1408-1410): a weak-but-alive
         # frame is exactly when the map needs reinforcement — a higher
         # floor (30, rounds 1-3) starved feature-poor segments and lost
-        # tracking where the reference would have inserted a keyframe
-        return (not recent) and (weak or long_gap) and self.last_inliers > 15
+        # tracking where the reference would have inserted a keyframe.
+        # `weak` is REQUIRED (no time-only insert) — the round-4 `or
+        # long_gap` plus a mismatched weak bar inserted a KF every
+        # min-gap (4x the reference cadence, ~200 ms of mapping each).
+        return (not recent) and weak and self.last_inliers > 15
 
     def _create_new_keyframe(self, fr):
         with timing.stage("track.create_kf"):
@@ -1236,11 +1268,12 @@ class Tracker:
             # describing pre-existing keypoints in ORBextractor
             # (/root/reference/src/ORBextractor.cc:1031-1127)
             with timing.stage("track.kf.merge_direct"):
+                from ygz_tpu.ops import orb as orb_mod
                 (fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
                  fr.mp_idx) = _merge_direct_features(
                     direct_uv, direct_lvl, direct_mp, direct_mask,
                     fr.uv, fr.level, fr.angle, fr.desc, fr.feat_mask,
-                    fr.pyramid, cfg)
+                    fr.blur_atlas, orb_mod._pattern_selector(), cfg)
                 timing.sync(fr.desc)
             if fr.depth_img is not None or fr.right_pyr is not None:
                 # merged direct positions overwrote tail feature slots;
@@ -1268,6 +1301,11 @@ class Tracker:
             self.mapper.on_new_keyframe(self, slot, fr)
         self._ref_obs_cache = None
         self._ref_obs3_cache = None
+        # nRefMatches in the direct matcher's own units: the KF frame's
+        # inlier count at creation time — identical in sync and pipelined
+        # modes (a next-frame capture diverged them: in-flight frames ran
+        # against the pre-KF candidate cache)
+        self._kf_inlier_baseline = max(self.last_inliers, 1)
         fr.T_c_ref = None  # ref KF changed; recompute in track()
         # frames already enqueued in the pipeline cached their T_c_ref
         # against the PREVIOUS ref KF — clear so _record_frame
@@ -1300,12 +1338,14 @@ def _reassociate(direct_uv, direct_mp, direct_mask, kp_uv, kp_level,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_carry"))
 def _merge_direct_features(direct_uv, direct_lvl, direct_mp, direct_mask,
                            kp_uv, kp_level, kp_angle, kp_desc, kp_mask,
-                           pyr, cfg, max_carry: int = 256):
+                           blur_atlas, selector, cfg, max_carry: int = 256):
     """KF-creation feature table for a direct-tracked frame: extracted
     keypoints, with direct-tracked map points either re-associated to a
     nearby corner or appended as described features in the table's tail
     slots (overwriting the weakest detections). One device program —
-    leftover selection is a device compaction, not a host np.where."""
+    leftover selection is a device compaction, not a host np.where.
+    blur_atlas: the extraction pass's blurred-level atlas (reused; this
+    program does no blurring of its own)."""
     from ygz_tpu.ops import orb, pyramid as pyr_mod
     from ygz_tpu.pipeline.mapping_kernels import _compact
 
@@ -1321,16 +1361,16 @@ def _merge_direct_features(direct_uv, direct_lvl, direct_mp, direct_mask,
     # scale-mismatched and costs real matches downstream (observed: 16
     # vs 30 relocalization matches against direct-merged keyframes)
     lvl_d = jnp.clip(direct_lvl[idx], 0, cfg.n_levels - 1)
-    ang_d = jnp.zeros((max_carry,))
-    desc_d = jnp.zeros((max_carry, 8), jnp.uint32)
-    for l in range(cfg.n_levels):
-        sel = (lvl_d == l) & vmask
-        blurred = pyr_mod.gaussian_blur(pyr[l])
-        uv_l = uv_d / float(cfg.scale_factors[l])
-        ang = orb.compute_orientations(blurred, uv_l, vmask)
-        dsc = orb.compute_descriptors(blurred, uv_l, ang, vmask)
-        ang_d = jnp.where(sel, ang, ang_d)
-        desc_d = jnp.where(sel[:, None], dsc, desc_d)
+    h0, w0 = cfg.camera.height, cfg.camera.width
+    sizes = pyr_mod.level_sizes(h0, w0, cfg.n_levels, cfg.scale_factor)
+    xoffs = []
+    x = 0
+    for (_, w) in sizes:
+        xoffs.append(x)
+        x += w + pyr_mod.ATLAS_GUTTER
+    ang_d, desc_d = orb.describe_keypoints_atlas(
+        blur_atlas, tuple(xoffs), uv_d, lvl_d, vmask,
+        tuple(float(s) for s in cfg.scale_factors), selector=selector)
     # overwrite the tail (weakest) feature slots, newest first; pad
     # lanes index out of range and drop. With C = #carried lanes, lane i
     # lands at N - C + i — computed on device via the carry count.
