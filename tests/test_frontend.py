@@ -63,6 +63,48 @@ class TestFast:
         assert s[10, 10] > s[5, 5]
         assert s[10, 10] > 1.0
 
+    def test_occupancy_mask_blocks_cells(self, test_img):
+        """DSO-style occupancy (reference ORBextractor.cc:1275-1386): a
+        cell holding an existing point yields no detections, and the
+        budget it frees goes elsewhere."""
+        img = jnp.asarray(test_img)
+        # occupy the cell containing the bright square corner (10, 10)
+        occ_uv = jnp.asarray([[12.0, 12.0]])
+        occ_lvl = jnp.zeros((1,), jnp.int32)
+        occ_m = jnp.ones((1,), bool)
+        blocked = fast.occupied_cell_mask(occ_uv, occ_lvl, occ_m, 0,
+                                          48, 64, 16, 1.0)
+        assert bool(blocked[0])           # cell (0,0) of the 16px grid
+        assert int(jnp.sum(blocked)) == 1
+        uv, s, m = fast.detect_level(img, 20.0, cell=16, per_cell=4,
+                                     border=4, low_threshold=None,
+                                     blocked=blocked)
+        pts = np.asarray(uv)[np.asarray(m)]
+        in_blocked = (pts[:, 0] < 16) & (pts[:, 1] < 16)
+        assert not in_blocked.any()
+        # unoccupied detection still finds the other planted square
+        d = np.linalg.norm(pts - np.array([40, 30]), axis=1).min()
+        assert d <= 3.0
+
+    def test_detect_pyramid_occupied_budget_moves(self, test_img):
+        """With occupancy over one region, detect_pyramid keeps finding
+        features but none at the occupied cells' level-0 footprint."""
+        pyr = pyramid.build_pyramid(jnp.asarray(test_img), 2, 2.0)
+        scales = np.array([1.0, 2.0], np.float32)
+        occ_uv = jnp.asarray([[12.0, 12.0]])
+        occ_lvl = jnp.zeros((1,), jnp.int32)
+        occ_m = jnp.ones((1,), bool)
+        kps = fast.detect_pyramid(pyr, scales, 20.0, 10.0, 64, cell=16,
+                                  per_cell=4, border=4,
+                                  occupied=(occ_uv, occ_lvl, occ_m))
+        pts = np.asarray(kps.uv)[np.asarray(kps.mask)
+                                 & (np.asarray(kps.level) == 0)]
+        if len(pts):
+            in_blocked = (pts[:, 0] < 16) & (pts[:, 1] < 16)
+            assert not in_blocked.any()
+        # still detects elsewhere
+        assert int(np.asarray(kps.mask).sum()) >= 4
+
     def test_grid_topk_uniformity(self):
         score = jnp.asarray(np.random.RandomState(0).rand(64, 64).astype(np.float32))
         uv, s, m = fast.select_grid_topk(score, jnp.ones((64, 64), bool),

@@ -123,6 +123,44 @@ class TestVocabulary:
         s_diff = float(vocabulary.l1_score(va, vb))
         assert s_same > s_diff + 0.1
 
+    def test_device_trainer_pack_roundtrip(self):
+        rng = np.random.RandomState(9)
+        desc = jnp.asarray(random_desc(rng, 64))
+        bits = vocabulary._unpack_bits_dev(desc)
+        back = vocabulary._pack_bits_dev(bits)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(desc))
+        # popcount consistency: bit sums equal device popcounts
+        import jax
+        pc = np.asarray(jnp.sum(jax.lax.population_count(desc), axis=-1))
+        np.testing.assert_array_equal(np.asarray(jnp.sum(bits, -1)), pc)
+
+    def test_device_trainer_quality_parity(self):
+        """The batched device trainer must cluster as well as the host
+        k-majority trainer: same-scene perturbed descriptors land on the
+        same words at a comparable rate, and retrieval ranks the right
+        keyframe."""
+        rng = np.random.RandomState(11)
+        base = random_desc(rng, 800)
+        voc_d = vocabulary.train_vocabulary_device(base, k=4, L=3, seed=1)
+        assert voc_d.node_desc.shape[0] == 4 + 16 + 64
+        ids = np.asarray(vocabulary.transform(
+            voc_d, jnp.asarray(base[:200]), jnp.ones(200, bool)))
+        assert ids.min() >= 0 and ids.max() < voc_d.n_words
+        # words spread over many leaves (not collapsed)
+        assert len(np.unique(ids)) > 20
+
+        def vec(voc, d):
+            w = vocabulary.transform(voc, jnp.asarray(d),
+                                     jnp.ones(len(d), bool))
+            return vocabulary.bow_vector(voc, w, jnp.ones(len(d), bool))
+
+        kfs = [base[i * 100:(i + 1) * 100] for i in range(8)]
+        db = jnp.stack([vec(voc_d, k) for k in kfs])
+        query = vec(voc_d, perturb_desc(rng, kfs[5], 3))
+        scores = vocabulary.score_against_database(
+            query, db, jnp.ones(8, bool))
+        assert int(jnp.argmax(scores)) == 5
+
     def test_database_scoring(self):
         rng = np.random.RandomState(6)
         base = random_desc(rng, 500)

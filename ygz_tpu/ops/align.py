@@ -87,15 +87,17 @@ def extract_ref_patches(img_ref, uv_ref, half: int = SPARSE_HALF_PATCH):
 
 def sparse_align_level(T_cur_ref, img_cur, prob: SparseAlignProblem,
                        fx: float, fy: float, cx: float, cy: float,
-                       num_iters: int = 10, half: int = SPARSE_HALF_PATCH):
+                       num_iters: int = 10, half: int = SPARSE_HALF_PATCH,
+                       margin: int = 8):
     """Gauss-Newton photometric pose refinement on one pyramid level.
 
     Mirrors the per-level loop of SparseImgAlign::run
     (/root/reference/src/SparseImageAlign.cc:38-49) with 10 iterations,
     Huber-weighted intensity residuals, 6x6 solve; returns the refined
-    pose and the fraction-tracked diagnostics.
+    pose and the fraction-tracked diagnostics. `margin` is the px of
+    pose-update slack after the initial projection (window half-width of
+    the gather-once resampler).
     """
-    margin = 8  # px of pose-update slack after the initial projection
 
     def project(T):
         pc = lie.se3_apply(T, prob.points_ref)
@@ -167,8 +169,19 @@ def sparse_image_align(T_init, pyr_ref, pyr_cur, uv_ref0, points_ref, mask,
         use_pallas = jax.default_backend() == "tpu"
     T = T_init
     n_good = jnp.int32(0)
-    margin = 8
     for lvl in range(max_level, min_level - 1, -1):
+        # the coarsest level absorbs the motion-prior error (wide window,
+        # full iterations); finer levels start at the coarser optimum, so
+        # their residual shift is small — a narrower resample window and
+        # fewer GN iterations buy back real device time (the per-level
+        # kernel cost scales with window taps x iterations). The
+        # reference runs 10 iterations with unbounded per-iteration
+        # sampling at every level (SparseImageAlign.cc:38-49); the
+        # narrow-window equivalence holds because each level re-anchors
+        # its gather at the incoming pose's projection.
+        coarsest = lvl == max_level
+        margin = 8 if coarsest else 6
+        iters_l = num_iters if coarsest else min(num_iters, 6)
         s = 1.0 / float(scales[lvl])
         uv_l = uv_ref0 * s
         ref_patches = extract_ref_patches(pyr_ref[lvl], uv_l)
@@ -187,7 +200,7 @@ def sparse_image_align(T_init, pyr_ref, pyr_cur, uv_ref0, points_ref, mask,
             T, n_good = pallas_align.sparse_align_level_fused(
                 T, blocks, ref_patches, points_ref, center, mask & bv,
                 cam.fx * s, cam.fy * s, cam.cx * s, cam.cy * s,
-                num_iters=num_iters, half=SPARSE_HALF_PATCH, margin=margin,
+                num_iters=iters_l, half=SPARSE_HALF_PATCH, margin=margin,
                 interpret=(use_pallas == "interpret"))
         else:
             prob = SparseAlignProblem(
@@ -195,7 +208,7 @@ def sparse_image_align(T_init, pyr_ref, pyr_cur, uv_ref0, points_ref, mask,
             T, n_good = sparse_align_level(
                 T, pyr_cur[lvl], prob,
                 cam.fx * s, cam.fy * s, cam.cx * s, cam.cy * s,
-                num_iters=num_iters)
+                num_iters=iters_l, margin=margin)
     return T, n_good
 
 

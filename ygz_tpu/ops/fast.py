@@ -146,11 +146,17 @@ class Keypoints(NamedTuple):
         return self.uv.shape[0]
 
 
-def select_grid_topk(score, valid, cell: int, per_cell: int, border: int = 16):
+def select_grid_topk(score, valid, cell: int, per_cell: int, border: int = 16,
+                     blocked=None):
     """Uniform keypoint selection: top `per_cell` responses per cell x cell
     block. Returns (uv [M,2] int32, score [M], mask [M]) with
     M = n_cells * per_cell — static. The TPU-shaped DistributeOctTree.
-    """
+
+    `blocked` ([ncy*ncx] bool, optional) suppresses whole cells — the
+    occupancy mask of the reference's DSO-style detection, which skips
+    grid cells already holding direct-tracked points
+    (/root/reference/src/ORBextractor.cc:1275-1386) so the detection
+    budget complements existing tracks instead of duplicating them."""
     H, W = score.shape
     vy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     vx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -160,6 +166,8 @@ def select_grid_topk(score, valid, cell: int, per_cell: int, border: int = 16):
     ncy, ncx = H // cell, W // cell
     sc = s[: ncy * cell, : ncx * cell]
     sc = sc.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+    if blocked is not None:
+        sc = jnp.where(blocked[:, None], -jnp.inf, sc)
     top_s, top_i = jax.lax.top_k(sc, per_cell)  # [ncells, per_cell]
 
     cell_ids = jnp.arange(ncy * ncx, dtype=jnp.int32)
@@ -204,7 +212,8 @@ def subpixel_refine(score, uv, mask):
 
 
 def detect_level(img, threshold: float, cell: int, per_cell: int,
-                 border: int = 16, low_threshold: float | None = None):
+                 border: int = 16, low_threshold: float | None = None,
+                 blocked=None):
     """Full single-level detection: FAST mask -> Shi-Tomasi score -> nonmax ->
     grid top-k. If the high threshold yields nothing in a cell, the low
     threshold map fills in (mirrors iniThFAST/minThFAST retry,
@@ -226,22 +235,51 @@ def detect_level(img, threshold: float, cell: int, per_cell: int,
     keep = nonmax_3x3(jnp.where(corners_lo, score, -jnp.inf))
     # bias: high-threshold corners get +1e4 so they dominate cell ranking
     biased = jnp.where(corners_hi, score + 1e4, score)
-    uv, s, mask = select_grid_topk(biased, corners_lo & keep, cell, per_cell, border)
+    uv, s, mask = select_grid_topk(biased, corners_lo & keep, cell, per_cell,
+                                   border, blocked=blocked)
     s = jnp.where(s > 1e4 * 0.5, s - 1e4, s)  # undo bias for reported score
     uv = subpixel_refine(score, uv, mask)
     return uv, s, mask
 
 
+def occupied_cell_mask(occ_uv, occ_level, occ_mask, level: int,
+                       H: int, W: int, cell: int, scale: float):
+    """Per-level grid occupancy: True for cells containing an existing
+    point tracked at this pyramid level (occ_uv in level-0 coords).
+    Blocking only the point's own level keeps coarse levels detectable —
+    a level-0 cell footprint scales with the level, so same-level
+    blocking has the reference's scale semantics."""
+    ncy, ncx = H // cell, W // cell
+    u = (occ_uv[:, 0] / scale).astype(jnp.int32) // cell
+    v = (occ_uv[:, 1] / scale).astype(jnp.int32) // cell
+    hit = occ_mask & (occ_level == level) & (u >= 0) & (u < ncx) \
+        & (v >= 0) & (v < ncy)
+    cid = jnp.where(hit, v * ncx + u, ncy * ncx)
+    return jnp.zeros((ncy * ncx + 1,), bool).at[cid].set(
+        True, mode="drop")[: ncy * ncx]
+
+
 def detect_pyramid(pyr: Tuple[jnp.ndarray, ...], scales: np.ndarray,
                    threshold: float, low_threshold: float,
                    n_features: int, cell: int = 32,
-                   per_cell: int = 4, border: int = 16) -> Keypoints:
+                   per_cell: int = 4, border: int = 16,
+                   occupied=None) -> Keypoints:
     """Detect on every pyramid level, map to level-0 coords, keep the global
-    top `n_features` by score. Static output capacity = n_features."""
+    top `n_features` by score. Static output capacity = n_features.
+
+    `occupied` = (uv [C,2] level-0 coords, level [C], mask [C]) suppresses
+    detection in grid cells already holding those points (the reference's
+    DSO occupancy mode, /root/reference/src/ORBextractor.cc:1275-1386)."""
     all_uv, all_s, all_lvl, all_m = [], [], [], []
     for lvl, img in enumerate(pyr):
+        blocked = None
+        if occupied is not None:
+            o_uv, o_lvl, o_m = occupied
+            blocked = occupied_cell_mask(o_uv, o_lvl, o_m, lvl,
+                                         img.shape[0], img.shape[1], cell,
+                                         float(scales[lvl]))
         uv, s, m = detect_level(img, threshold, cell, per_cell, border,
-                                low_threshold)
+                                low_threshold, blocked=blocked)
         all_uv.append(uv * float(scales[lvl]))
         all_s.append(s)
         all_lvl.append(jnp.full(s.shape, lvl, dtype=jnp.int32))

@@ -147,12 +147,12 @@ def _remap_nearest_jit(img, grid):
     return jnp.where(inb, val, 0.0)
 
 
-def _extract_core(pyr, selector, cfg: SlamConfig, occupied_uv=None,
-                  occupied_mask=None):
+def _extract_core(pyr, selector, cfg: SlamConfig, occupied=None):
     scales = cfg.scale_factors
     kps = fast.detect_pyramid(
         pyr, scales, cfg.ini_th_fast, cfg.min_th_fast,
-        cfg.n_features, cell=cfg.detect_cell, per_cell=cfg.detect_per_cell)
+        cfg.n_features, cell=cfg.detect_cell, per_cell=cfg.detect_per_cell,
+        occupied=occupied)
     blurred = tuple(pyramid.gaussian_blur(p) for p in pyr)
     blur_atlas, xoffs = pyramid.atlas_from_pyramid(blurred)
     angles, descs = orb.describe_keypoints_atlas(
@@ -166,16 +166,29 @@ def _extract_jit(pyr, selector, cfg: SlamConfig):
     return _extract_core(pyr, selector, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_occupied_jit(pyr, selector, cfg: SlamConfig, occ_uv, occ_level,
+                          occ_mask):
+    """Extraction with DSO-style occupancy masking: grid cells already
+    holding direct-tracked points (at their own pyramid level) are
+    excluded from detection, so the feature budget complements the
+    existing tracks (/root/reference/src/ORBextractor.cc:1275-1386)."""
+    return _extract_core(pyr, selector, cfg,
+                         occupied=(occ_uv, occ_level, occ_mask))
+
+
 def extract_features(frame: Frame, cfg: SlamConfig,
                      depth_img: Optional[np.ndarray] = None,
-                     right_pyr: Optional[Tuple] = None) -> Frame:
+                     right_pyr: Optional[Tuple] = None,
+                     occupied: Optional[Tuple] = None) -> Frame:
     """Run detection + description; fill stereo/RGBD fields if available.
 
-    Keeps already-tracked direct points? The reference re-describes
-    direct-tracked keypoints on KF creation (/root/reference/src/
-    ORBextractor.cc:1031-1127); here detection is dense enough (grid
-    top-k) that direct points re-associate through the map-point fuse
-    step instead — simpler and shape-stable.
+    `occupied` = (uv [C,2], level [C], mask [C]): direct-tracked points
+    whose grid cells are excluded from detection — the reference's
+    occupancy-masked ExtractORB mode at keyframe creation
+    (/root/reference/src/ORBextractor.cc:1275-1386). Without it, detection
+    covers the full grid and direct points re-associate post-hoc (the
+    3-px NN fallback in tracking._reassociate).
     """
     if frame.extracted:
         return frame
@@ -183,8 +196,12 @@ def extract_features(frame: Frame, cfg: SlamConfig,
         depth_img = frame.depth_img
     if right_pyr is None:
         right_pyr = frame.right_pyr
-    uv, level, angle, desc, mask, blur_atlas = _extract_jit(
-        frame.pyramid, orb._pattern_selector(), cfg)
+    if occupied is not None:
+        uv, level, angle, desc, mask, blur_atlas = _extract_occupied_jit(
+            frame.pyramid, orb._pattern_selector(), cfg, *occupied)
+    else:
+        uv, level, angle, desc, mask, blur_atlas = _extract_jit(
+            frame.pyramid, orb._pattern_selector(), cfg)
     N = int(uv.shape[0])
     ur = jnp.full((N,), -1.0, jnp.float32)
     depth = jnp.full((N,), -1.0, jnp.float32)

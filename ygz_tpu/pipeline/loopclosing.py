@@ -31,6 +31,18 @@ from ygz_tpu.utils.config import SlamConfig
 from ygz_tpu.utils.log import logger
 
 
+@jax.jit
+def _detect_bundle_jit(ms, slot):
+    """Everything DetectLoop reads from the device, as one program:
+    full covisibility matrix [K,K] (row `slot` = the query counts, row c =
+    candidate c's group), BoW scores of `slot` against the database,
+    frame ids, and KF liveness."""
+    cmat = mapstate.covisibility_matrix(ms)
+    scores = vocabulary.score_against_database(
+        ms.kf_bow[slot], ms.kf_bow, ms.kf_mask)
+    return cmat, scores, ms.kf_frame_id, ms.kf_mask
+
+
 class LoopClosing:
     def __init__(self, cfg: SlamConfig, consistency_th: int = 3):
         self.cfg = cfg
@@ -78,17 +90,26 @@ class LoopClosing:
     # ------------------------------------------------------------------
     def _detect_loop(self, tracker, slot: int) -> List[int]:
         """BoW retrieval gated by covisible min-score + consistency groups
-        (reference DetectLoop, /root/reference/src/LoopClosing.cc:104-216)."""
+        (reference DetectLoop, /root/reference/src/LoopClosing.cc:104-216).
+
+        All device quantities the detection needs — BoW scores, the full
+        covisibility matrix (slot's counts AND every candidate's group),
+        frame ids, liveness — come from ONE jitted program and ONE
+        device_get: the per-KF detection previously issued 2 + #candidates
+        blocking readbacks over the tunnel (~150 ms/KF, the bench's
+        `track.post_frame` wall)."""
         ms = tracker.ms
         # fewer than 10 KFs in the map, or fewer than 10 since the last
         # loop (reference: mnId < mLastLoopKFid + 10 with mLastLoopKFid=0
         # at start, /root/reference/src/LoopClosing.cc:114-118)
         if slot - self.last_loop_kf < 10 or tracker.n_kf < 10:
             return []
-        counts = np.asarray(mapstate.covisibility_counts(ms, slot))
+        cmat, scores, fid, alive = jax.device_get(
+            _detect_bundle_jit(ms, slot))
+        if not alive[slot]:
+            return []
+        counts = cmat[slot]
         covis = set(np.where(counts >= 15)[0].tolist())
-        scores = np.asarray(vocabulary.score_against_database(
-            ms.kf_bow[slot], ms.kf_bow, ms.kf_mask))
         # min reference score among covisibles
         if covis:
             min_score = max(min(scores[k] for k in covis), 1e-4)
@@ -100,8 +121,6 @@ class LoopClosing:
         cand_mask = scores >= min_score
         for k in covis | {slot}:
             cand_mask[k] = False
-        fid = np.asarray(ms.kf_frame_id)
-        alive = np.asarray(ms.kf_mask)
         order = np.argsort(np.abs(fid - fid[slot]))
         recent = [k for k in order if alive[k]][:4]  # slot + 3 nearest
         for k in recent:
@@ -136,8 +155,7 @@ class LoopClosing:
         new_groups = []
         accepted = []
         for c in candidates:
-            ccounts = np.asarray(mapstate.covisibility_counts(ms, int(c)))
-            group = set(np.where(ccounts >= 15)[0].tolist()) | {int(c)}
+            group = set(np.where(cmat[int(c)] >= 15)[0].tolist()) | {int(c)}
             best_consistency = 0
             for pg, cnt in self.prev_groups:
                 if group & pg:

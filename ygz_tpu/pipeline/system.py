@@ -18,6 +18,7 @@ from ygz_tpu.matching import vocabulary as vocab_mod
 from ygz_tpu.pipeline import frame as frame_mod
 from ygz_tpu.pipeline.mapping import LocalMapping
 from ygz_tpu.pipeline.tracking import Tracker, LOST
+from ygz_tpu.utils import timing
 from ygz_tpu.utils.config import SlamConfig
 
 MONOCULAR = 0
@@ -80,19 +81,24 @@ class System:
         self.tracker.new_kf_slots = []
         if self.loop_closer is None:
             return
-        alive = np.asarray(self.tracker.ms.kf_mask)
+        # liveness is checked inside _detect_loop's single fused readback;
+        # a separate np.asarray(kf_mask) here cost one blocking tunnel
+        # round trip per KF
         for slot in slots:
-            if alive[slot]:
-                self.loop_closer.on_new_keyframe(self.tracker, slot)
+            self.loop_closer.on_new_keyframe(self.tracker, slot)
 
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, timestamp: float):
         """img: [H, W] grayscale (uint8 or float). Returns T_cw or None."""
-        fr = frame_mod.make_frame(img, self._next_id(), timestamp, self.cfg)
+        with timing.stage("track.make_frame"):
+            fr = frame_mod.make_frame(img, self._next_id(), timestamp,
+                                      self.cfg)
         if self.pipelined and not self.cfg.use_imu:
-            T = self.tracker.track_pipelined(fr)
-            self._notify_loop_closer()
-            self._maybe_auto_reset()
+            with timing.stage("track.pipeline_call"):
+                T = self.tracker.track_pipelined(fr)
+            with timing.stage("track.post_frame"):
+                self._notify_loop_closer()
+                self._maybe_auto_reset()
             return T
         T = self.tracker.track(fr)
         self._notify_loop_closer()

@@ -1256,9 +1256,17 @@ class Tracker:
         if was_direct:
             fr.uv = None  # force re-extraction with real descriptors
             with timing.stage("track.kf.extract"):
+                # occupancy-masked detection: cells holding direct-tracked
+                # map points are excluded, so the budget goes to NEW
+                # corners and the direct points carry over as described
+                # features in _merge_direct_features (reference DSO mode,
+                # /root/reference/src/ORBextractor.cc:1275-1386)
+                occ = (direct_uv, direct_lvl,
+                       direct_mask & (direct_mp >= 0))
                 fr2 = frame_mod.extract_features(
                     dataclasses.replace(fr, uv=None, level=None, angle=None,
-                                        desc=None, feat_mask=None), cfg)
+                                        desc=None, feat_mask=None), cfg,
+                    occupied=occ)
                 timing.sync(fr2.desc)
             self._copy_frame_fields(fr, fr2)
             # re-associate direct-tracked map points to extracted features
