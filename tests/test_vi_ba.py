@@ -27,6 +27,42 @@ def make_vision(pts_w, ns, noise=0.0, seed=0):
     return jnp.asarray(uv.astype(np.float32)), jnp.asarray(mask)
 
 
+class TestAnalyticVisionJacobian:
+    def test_matches_jacfwd(self):
+        """_vision_jac6 must equal jacfwd of the reprojection residual
+        over the retraction's (dP, dphi) slots — with a NON-trivial Tbc
+        so the body/camera chain is exercised."""
+        rng = np.random.RandomState(3)
+        Tbc = {"q": lie.quat_normalize(jnp.asarray(
+            rng.randn(4).astype(np.float32))),
+            "t": jnp.asarray(rng.randn(3).astype(np.float32) * 0.1)}
+        ns = ns_mod.NavState(
+            P=jnp.asarray(rng.randn(3).astype(np.float32)),
+            V=jnp.asarray(rng.randn(3).astype(np.float32)),
+            q=lie.quat_normalize(jnp.asarray(
+                rng.randn(4).astype(np.float32))),
+            bg=jnp.zeros(3), ba=jnp.zeros(3))
+        pts = jnp.asarray(
+            (rng.randn(40, 3) * 2 + np.array([0, 0, 8.0]))
+            .astype(np.float32))
+        uv = jnp.zeros((40, 2))
+
+        def r_of(dx):
+            c = ns_mod.retract(ns, dx)
+            r, _ = vi_ba._vision_residuals(c, Tbc, pts, uv, FX, FY, CX, CY)
+            return r
+
+        J_ad = jax.jacfwd(r_of)(jnp.zeros(15))   # [N, 2, 15]
+        J6 = vi_ba._vision_jac6(ns, Tbc, pts, FX, FY)
+        slots = np.asarray(vi_ba._VIS_SLOTS)
+        np.testing.assert_allclose(np.asarray(J_ad)[:, :, slots],
+                                   np.asarray(J6), rtol=2e-3, atol=2e-3)
+        # all other tangent slots have zero vision Jacobian
+        others = [i for i in range(15) if i not in set(slots.tolist())]
+        np.testing.assert_allclose(np.asarray(J_ad)[:, :, others], 0.0,
+                                   atol=1e-5)
+
+
 class TestPoseOptVI:
     def test_recovers_state(self):
         P, V, qs, imu = simulate_trajectory(100, seed=5)

@@ -45,6 +45,41 @@ def _vision_residuals(ns: ns_mod.NavState, Tbc, pts_w, uv, fx, fy, cx, cy):
     return r, pc[..., 2]
 
 
+def _vision_jac6(ns: ns_mod.NavState, Tbc, pts_w, fx, fy):
+    """Analytic d(r_vis)/d[dP, dphi]: [N, 2, 6] under the NavState
+    retraction (additive P; right-multiplicative body-frame phi,
+    navstate.retract). Vision touches only these 6 of the 15 tangent
+    dims — jacfwd over the full 15 costs 15 forward passes over all N
+    projection edges per GN iteration, ~2/3 of the fused VI step's
+    device time (the reference hand-codes the same blocks in
+    g2otypes.cpp EdgeNavStatePVRPointXYZ::linearizeOplus).
+
+    Chain: x_b = R_wb^T (X - P);  x_c = R_bc^T (x_b - t_bc);
+      d x_b/d dP   = -R_wb^T
+      d x_b/d dphi = hat(x_b)   (right perturbation R_wb e^{phi^})
+    """
+    Rwb = lie.quat_to_matrix(ns.q)                       # [3, 3]
+    xb = lie.quat_rotate(lie.quat_conj(ns.q)[None], pts_w - ns.P[None])
+    Rbc = lie.quat_to_matrix(Tbc["q"])
+    xc = (xb - Tbc["t"][None]) @ Rbc                     # rows R_bc^T x
+    z = jnp.maximum(xc[..., 2], 1e-3)
+    zi = 1.0 / z
+    zi2 = zi * zi
+    zero = jnp.zeros_like(z)
+    duv_dxc = jnp.stack([
+        jnp.stack([fx * zi, zero, -fx * xc[..., 0] * zi2], -1),
+        jnp.stack([zero, fy * zi, -fy * xc[..., 1] * zi2], -1)], -2)
+    # [N, 3, 6] = [d x_b/d dP | d x_b/d dphi]
+    N = xb.shape[0]
+    dxb = jnp.concatenate([
+        jnp.broadcast_to(-Rwb.T, (N, 3, 3)), lie.hat(xb)], axis=-1)
+    return duv_dxc @ (Rbc.T @ dxb)                       # [N, 2, 6]
+
+
+# tangent slots the vision Jacobian touches: dP (0:3) and dphi (6:9)
+_VIS_SLOTS = (0, 1, 2, 6, 7, 8)
+
+
 def _imu_info(pre: PreintState):
     """9x9 information matrix from the preintegration covariance. The
     covariance floor caps the information at ~1e6 so the float32 normal
@@ -150,22 +185,19 @@ def pose_optimization_vi(ns0: ns_mod.NavState, ns_ref: ns_mod.NavState,
             l, c = states(ns_l, ns_c, dx)
             return ns_mod.imu_residual_biased(l, c, pre, gw, bg_hat, ba_hat)
 
-        def r_vis_c(dc):
-            c = ns_mod.retract(ns_c, dc)
-            rv, _ = _vision_residuals(c, Tbc, pts_w, uv, fx, fy, cx, cy)
-            return rv
-
         r_imu = r_imu_fn(zero)
         J_imu = jax.jacfwd(r_imu_fn)(zero)               # [9, 30]
-        rv = r_vis_c(jnp.zeros(15))
-        Jv = jax.jacfwd(r_vis_c)(jnp.zeros(15))          # [N, 2, 15]
+        rv, _ = _vision_residuals(ns_c, Tbc, pts_w, uv, fx, fy, cx, cy)
+        Jv6 = _vision_jac6(ns_c, Tbc, pts_w, fx, fy)     # [N, 2, 6]
 
         H = J_imu.T @ info_imu @ J_imu
         b = -J_imu.T @ info_imu @ r_imu
-        H_cc = jnp.einsum("nad,nae,n->de", Jv, Jv, w_vis)
-        b_c = -jnp.einsum("nad,na,n->d", Jv, rv, w_vis)
-        H = H.at[15:, 15:].add(H_cc)
-        b = b.at[15:].add(b_c)
+        H66 = jnp.einsum("nad,nae,n->de", Jv6, Jv6, w_vis)
+        b6 = -jnp.einsum("nad,na,n->d", Jv6, rv, w_vis)
+        import numpy as _np
+        rows = 15 + _np.asarray(_VIS_SLOTS)
+        H = H.at[_np.ix_(rows, rows)].add(H66)
+        b = b.at[rows].add(b6)
         if joint:
             # prior on the LAST state, anchored at its marginal estimate
             def r_pr_l(dl):
