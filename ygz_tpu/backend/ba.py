@@ -353,20 +353,34 @@ def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
     if inlier is None:
         inlier = prob.obs.mask
 
-    def body(_, carry):
-        p, mu, cost = carry
+    def body(carry):
+        p, mu, cost, it, _ = carry
         p_try = _ba_step(p, inlier, fx, fy, cx, cy, bf, robust, mu,
                          kf_major=kf_major)
         cost_try = _ba_cost(p_try, inlier, fx, fy, cx, cy, bf, robust)
         accept = cost_try < cost
+        # converged: an ACCEPTED step that barely moved the cost. Early
+        # exit changes nothing about the solution — it skips iterations
+        # the fixed-count loop would spend re-deriving the same point
+        # (typical local BA converges in 2-4 accepted steps; each saved
+        # iteration is a full assembly + CG solve of device time). g2o's
+        # terminateAction does the same on relative chi2 decrease.
+        rel = (cost - cost_try) / jnp.maximum(cost, 1e-12)
+        stop = accept & (rel < 1e-5)
         p = jax.tree.map(
             lambda old, new: jnp.where(
                 accept.reshape((1,) * old.ndim), new, old), p, p_try)
         mu = jnp.where(accept, mu * 0.5, mu * 5.0)
-        return p, jnp.clip(mu, 1e-8, 1e4), jnp.where(accept, cost_try, cost)
+        return (p, jnp.clip(mu, 1e-8, 1e4),
+                jnp.where(accept, cost_try, cost), it + 1, stop)
+
+    def cond(carry):
+        _, _, _, it, stop = carry
+        return (it < iters) & ~stop
 
     c0 = _ba_cost(prob, inlier, fx, fy, cx, cy, bf, robust)
-    prob, _, _ = jax.lax.fori_loop(0, iters, body, (prob, mu0, c0))
+    prob, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (prob, mu0, c0, jnp.int32(0), jnp.bool_(False)))
     return prob
 
 
