@@ -168,6 +168,42 @@ class TestLiveViewer:
         finally:
             v.stop()
 
+    def test_interactive_controls(self, small_map):
+        """/control: follow toggles immediately; localization + reset
+        queue and apply on the tracking thread's next update() — the
+        reference Viewer's menuFollowCamera / menuLocalizationMode /
+        menuReset controls (/root/reference/src/Viewer.cc:49-206)."""
+        import json
+        import urllib.request
+
+        from ygz_tpu.utils.live_viewer import LiveViewer
+
+        cfg, sys_, frames = small_map
+        v = LiveViewer(port=0, period=10.0, system=sys_)
+        port = v._httpd.server_address[1]
+        v.start()
+        try:
+            def ctl(cmd):
+                return json.loads(urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/control?cmd={cmd}",
+                    timeout=5).read())
+
+            s = ctl("follow")
+            assert s["follow"] is True
+            s = ctl("localization")
+            assert s["localization"] is True      # pending state shown
+            assert not sys_.localization_only     # not yet applied
+            v.update(sys_.tracker, frames[-1])    # tracking-thread tick
+            assert sys_.localization_only
+            assert sys_.tracker.localization_only
+            n_kf_before = sys_.tracker.n_kf
+            assert n_kf_before >= 1
+            ctl("reset")
+            v.update(sys_.tracker, frames[-1])
+            assert sys_.tracker.n_kf == 0         # map wiped by reset
+        finally:
+            v.stop()
+
 
 class TestShippedConfigs:
     def test_all_dataset_yamls_parse(self):

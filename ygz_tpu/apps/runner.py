@@ -96,7 +96,7 @@ def run_sequence(system, frames, args, track_fn):
     viewer = None
     if getattr(args, "viewer", None):
         from ygz_tpu.utils.live_viewer import LiveViewer
-        viewer = LiveViewer(port=args.viewer).start()
+        viewer = LiveViewer(port=args.viewer, system=system).start()
     times = []
     t_prev = None
     n = 0

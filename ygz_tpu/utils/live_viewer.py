@@ -30,8 +30,19 @@ import numpy as np
 _PAGE = b"""<!doctype html>
 <html><head><title>ygz_tpu live</title>
 <style>body{background:#111;color:#ddd;font-family:monospace}
-img{max-width:48%;border:1px solid #333;margin:4px}</style>
+img{max-width:48%;border:1px solid #333;margin:4px}
+button{background:#222;color:#ddd;border:1px solid #555;margin:2px;
+padding:4px 10px;cursor:pointer}
+button.on{background:#375a37}</style>
 <script>
+async function ctl(cmd){
+  const r = await fetch('/control?cmd=' + cmd);
+  const s = await r.json();
+  for (const k of ['follow','localization']){
+    const b = document.getElementById(k);
+    if (b) b.className = s[k] ? 'on' : '';
+  }
+}
 async function tick(){
   try{
     const r = await fetch('/stats.json'); const s = await r.json();
@@ -41,9 +52,16 @@ async function tick(){
   }catch(e){}
   setTimeout(tick, 1000);
 }
-window.onload = tick;
+window.onload = () => { tick(); ctl('noop'); };
 </script></head>
-<body><h3>ygz_tpu live viewer</h3><pre id=stats></pre>
+<body><h3>ygz_tpu live viewer</h3>
+<div>
+<button id=follow onclick="ctl('follow')">follow camera</button>
+<button id=localization onclick="ctl('localization')">localization
+mode</button>
+<button onclick="if(confirm('reset the map?'))ctl('reset')">reset</button>
+</div>
+<pre id=stats></pre>
 <img id=frame src=/frame.png><img id=map src=/map.png>
 </body></html>"""
 
@@ -52,9 +70,13 @@ class LiveViewer:
     """Render-thread + HTTP-server pair. `update(tracker, frame)` is
     cheap (stores a reference); rendering happens on the viewer thread."""
 
-    def __init__(self, port: int = 8765, period: float = 1.0):
+    def __init__(self, port: int = 8765, period: float = 1.0,
+                 system=None):
         self.port = port
         self.period = period
+        self.system = system        # enables the interactive controls
+        self.follow = False         # follow-camera map view
+        self._pending_cmds: list = []   # applied on the TRACKING thread
         self._lock = threading.Lock()
         self._latest = None            # (tracker, frame)
         self._map_png: Optional[bytes] = None
@@ -80,6 +102,12 @@ class LiveViewer:
                 elif path == "/stats.json":
                     self._send(200, "application/json",
                                json.dumps(viewer_self._stats).encode())
+                elif path == "/control":
+                    q = self.path.split("?cmd=")
+                    cmd = q[1].split("&")[0] if len(q) > 1 else "noop"
+                    self._send(200, "application/json",
+                               json.dumps(
+                                   viewer_self._control(cmd)).encode())
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -113,9 +141,41 @@ class LiveViewer:
 
     def update(self, tracker, frame=None):
         """Called from the tracking loop; O(1) — stores the latest
-        snapshot reference for the render thread."""
+        snapshot reference for the render thread, and applies queued
+        control commands HERE so map mutations (reset, localization
+        switch) happen on the tracking thread, exactly as the reference
+        viewer requests them via System flags checked in the tracking
+        loop (/root/reference/src/Viewer.cc:139-180 menuReset /
+        menuLocalizationMode -> System::Reset/...LocalizationMode)."""
         with self._lock:
             self._latest = (tracker, frame)
+            cmds, self._pending_cmds = self._pending_cmds, []
+        for cmd in cmds:
+            if self.system is None:
+                continue
+            if cmd == "reset":
+                self.system.reset()
+            elif cmd == "localization":
+                if self.system.localization_only:
+                    self.system.deactivate_localization_mode()
+                else:
+                    self.system.activate_localization_mode()
+
+    def _control(self, cmd: str) -> dict:
+        """HTTP-thread side of the controls: view-only toggles apply
+        immediately; map-mutating commands queue for the tracking
+        thread. Returns the current toggle states for the UI."""
+        if cmd == "follow":
+            self.follow = not self.follow
+        elif cmd in ("reset", "localization") and self.system is not None:
+            with self._lock:
+                self._pending_cmds.append(cmd)
+        loc = bool(self.system.localization_only) if self.system else False
+        # localization reflects the PENDING toggle for instant UI feedback
+        with self._lock:
+            if "localization" in self._pending_cmds:
+                loc = not loc
+        return {"follow": self.follow, "localization": loc}
 
     # ------------------------------------------------------------------
     def _render_loop(self):
@@ -141,11 +201,16 @@ class LiveViewer:
                     frames=len(tracker.trajectory),
                     time=time.strftime("%H:%M:%S"),
                 )
+                self._stats["follow"] = self.follow
+                if self.system is not None:
+                    self._stats["localization_only"] = \
+                        bool(self.system.localization_only)
                 with tempfile.TemporaryDirectory() as d:
                     if tracker.n_kf > 0:
                         p = os.path.join(d, "map.png")
                         offline.draw_map(tracker, p,
-                                         show_covisibility=False)
+                                         show_covisibility=False,
+                                         follow=self.follow)
                         self._map_png = open(p, "rb").read()
                     if frame is not None and frame.extracted:
                         p = os.path.join(d, "frame.png")

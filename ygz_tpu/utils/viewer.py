@@ -23,8 +23,13 @@ def _mpl():
     return plt
 
 
-def draw_map(tracker, path: str, show_covisibility: bool = True):
-    """Top-down + 3D view of map points, keyframe frusta, covisibility."""
+def draw_map(tracker, path: str, show_covisibility: bool = True,
+             follow: bool = False):
+    """Top-down + 3D view of map points, keyframe frusta, covisibility.
+
+    follow=True centers the top-down view on the current camera position
+    with a fixed window — the reference Viewer's "Follow Camera" mode
+    (/root/reference/src/Viewer.cc:87-106 s_cam.Follow(Twc))."""
     from ygz_tpu.core import lie
     import jax.numpy as jnp
 
@@ -38,6 +43,13 @@ def draw_map(tracker, path: str, show_covisibility: bool = True):
         T_wc = lie.se3_inverse({"q": ms.kf_q[k], "t": ms.kf_t[k]})
         centers.append(np.asarray(T_wc["t"]))
     centers = np.stack(centers) if centers else np.zeros((0, 3))
+
+    cam_ctr = None
+    lf = getattr(tracker, "last_frame", None)
+    if lf is not None and getattr(lf, "T_cw", None) is not None:
+        cam_ctr = np.asarray(lie.se3_inverse(lf.T_cw)["t"])
+    elif len(centers):
+        cam_ctr = centers[-1]
 
     fig = plt.figure(figsize=(12, 5))
     ax = fig.add_subplot(1, 2, 1)
@@ -57,11 +69,24 @@ def draw_map(tracker, path: str, show_covisibility: bool = True):
                 ax.plot([centers[i][0], centers[j][0]],
                         [centers[i][2], centers[j][2]],
                         "g-", lw=0.4, alpha=0.5)
+    if cam_ctr is not None:
+        ax.plot([cam_ctr[0]], [cam_ctr[2]], "r^", ms=8, label="camera")
     ax.set_xlabel("x")
     ax.set_ylabel("z")
     ax.set_title(f"map: {mp_mask.sum()} points, {kf_mask.sum()} keyframes")
     ax.legend(loc="best", fontsize=8)
-    ax.set_aspect("equal", adjustable="datalim")
+    if follow and cam_ctr is not None:
+        # fixed window around the camera (span from the KF cloud, so the
+        # zoom level is stable while the center tracks the camera)
+        span = 4.0
+        if len(centers) > 1:
+            ext = centers.max(0) - centers.min(0)
+            span = max(float(max(ext[0], ext[2])) * 0.5, 1.0)
+        ax.set_xlim(cam_ctr[0] - span, cam_ctr[0] + span)
+        ax.set_ylim(cam_ctr[2] - span, cam_ctr[2] + span)
+        ax.set_aspect("equal", adjustable="box")
+    else:
+        ax.set_aspect("equal", adjustable="datalim")
 
     ax3 = fig.add_subplot(1, 2, 2, projection="3d")
     if len(pts):
