@@ -70,6 +70,36 @@ class TestSparseAlign:
         err = lie.se3_log(lie.se3_compose(lie.se3_inverse(T_est), T_cur))
         assert float(jnp.linalg.norm(err)) < 5e-3, np.asarray(err)
 
+    def test_fisher_information(self):
+        """Fisher information (SparseImageAlign.cc:51-55 parity): SPD at
+        a well-textured convergence point, and more points => more
+        information (trace grows)."""
+        tex = make_texture()
+        T_ref = lie.se3_identity()
+        img_ref, pw = render_plane(tex, T_ref)
+        ys, xs = np.mgrid[12:84:8, 12:120:8]
+        uv_ref = jnp.asarray(np.stack([xs, ys], -1)
+                             .reshape(-1, 2).astype(np.float32))
+        pts_ref = pw[ys.reshape(-1), xs.reshape(-1)]
+        mask = np.ones((uv_ref.shape[0],), bool)
+
+        prob = align.SparseAlignProblem(
+            ref_patches=align.extract_ref_patches(img_ref, uv_ref),
+            points_ref=pts_ref, mask=jnp.asarray(mask))
+        H = np.asarray(align.fisher_information(
+            T_ref, img_ref, prob, CAM.fx, CAM.fy, CAM.cx, CAM.cy))
+        assert H.shape == (6, 6)
+        np.testing.assert_allclose(H, H.T, rtol=1e-4)
+        ev = np.linalg.eigvalsh(H)
+        assert ev.min() > 0, ev
+
+        half_mask = mask.copy()
+        half_mask[::2] = False
+        prob2 = prob._replace(mask=jnp.asarray(half_mask))
+        H2 = np.asarray(align.fisher_information(
+            T_ref, img_ref, prob2, CAM.fx, CAM.fy, CAM.cx, CAM.cy))
+        assert np.trace(H2) < np.trace(H)
+
     def test_jit_compiles_once(self):
         tex = make_texture(1)
         img_ref, pw = render_plane(tex, lie.se3_identity())

@@ -152,6 +152,32 @@ def sparse_align_level(T_cur_ref, img_cur, prob: SparseAlignProblem,
     return T, n_good
 
 
+def fisher_information(T_cur_ref, img_cur, prob: SparseAlignProblem,
+                       fx: float, fy: float, cx: float, cy: float,
+                       half: int = SPARSE_HALF_PATCH,
+                       sigma_i_sq: float = 5e-4 * 255.0 * 255.0):
+    """Fisher information of the photometric pose estimate at T_cur_ref:
+    the unweighted GN Hessian over the image noise variance (reference
+    SparseImgAlign::getFisherInformation,
+    /root/reference/src/SparseImageAlign.cc:51-55). A tracking-quality
+    diagnostic — small eigenvalues flag poorly-constrained motion
+    directions (e.g. pure-forward motion on a fronto-parallel plane)."""
+    pc = lie.se3_apply(T_cur_ref, prob.points_ref)
+    z = jnp.maximum(pc[..., 2], 1e-3)
+    u = fx * pc[..., 0] / z + cx
+    v = fy * pc[..., 1] / z + cy
+    uv = jnp.stack([u, v], axis=-1)
+    val, gu, gv, in_img = sample_patch_grid(img_cur, uv, half,
+                                            with_grad=True)
+    valid = prob.mask & in_img & (pc[..., 2] > 1e-3)
+    Jc = _proj_jacobian(pc, fx, fy)                       # [N, 2, 6]
+    g = jnp.stack([gu, gv], axis=-1)                      # [N, P, 2]
+    J = jnp.einsum("npk,nkd->npd", g, Jc)                 # [N, P, 6]
+    w = valid[:, None].astype(jnp.float32) * jnp.ones(val.shape)
+    H = jnp.einsum("npd,npe,np->de", J, J, w)
+    return H / sigma_i_sq
+
+
 def sparse_image_align(T_init, pyr_ref, pyr_cur, uv_ref0, points_ref, mask,
                        cam, scales, max_level: int, min_level: int = 0,
                        num_iters: int = 10, use_pallas=None):
