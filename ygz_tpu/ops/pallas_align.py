@@ -32,6 +32,12 @@ def _align_kernel(num_iters: int, half: int, margin: int,
                   fx, fy, cx_, cy_,
                   pose_ref, blocks_ref, refp_ref, pts_ref, center_ref,
                   valid_ref, pose_out, ngood_ref):
+    """Patch rows ride the SUBLANE axis: the window resample contracts
+    [side, S, N] slabs (one op per tap covers every patch row at once)
+    instead of [1, N] rows per (row, column) pair — ~4x fewer vector
+    instructions per GN iteration than the row-at-a-time formulation.
+    refp_ref is laid out [j, i, N] (column-major patch) so column j's
+    reference rows slice contiguously as refp_ref[j]."""
     side = 2 * half
     m2 = 2 * margin + 2
     S = 2 * half + 2 * margin + 1
@@ -75,67 +81,64 @@ def _align_kernel(num_iters: int, half: int, margin: int,
         dwu = [dtent(k - (su + margin)) for k in range(m2)]
         dwv = [dtent(k - (sv + margin)) for k in range(m2)]
 
-        # vertical contractions: V1[i][c] = sum_k B[i+k][c] wv[k]
-        V1 = [[None] * S for _ in range(side)]
-        V2 = [[None] * S for _ in range(side)]
-        for i in range(side):
-            for ccol in range(S):
-                acc1 = blocks_ref[i, ccol, :][None, :] * wv[0]
-                acc2 = blocks_ref[i, ccol, :][None, :] * dwv[0]
-                for k in range(1, m2):
-                    row = blocks_ref[i + k, ccol, :][None, :]
-                    acc1 = acc1 + row * wv[k]
-                    acc2 = acc2 + row * dwv[k]
-                V1[i][ccol] = acc1
-                V2[i][ccol] = acc2
+        # stage 1 (vertical): V1[i, c] = sum_k B[i+k, c] wv[k] for ALL
+        # (i, c) at once — blocks_ref[k:k+side] is the [side, S, N] slab
+        # whose row i holds B[i+k]
+        V1 = blocks_ref[0:side, :, :] * wv[0][None]
+        V2 = blocks_ref[0:side, :, :] * dwv[0][None]
+        for k in range(1, m2):
+            slab = blocks_ref[k:k + side, :, :]
+            V1 = V1 + slab * wv[k][None]
+            V2 = V2 + slab * dwv[k][None]
 
-        # per-point accumulators over patch pixels
-        A = jnp.zeros_like(u)
-        Bc = jnp.zeros_like(u)
-        C = jnp.zeros_like(u)
-        Gu = jnp.zeros_like(u)
-        Gv = jnp.zeros_like(u)
-        sum_abs_r = jnp.zeros_like(u)
-
-        vals = [[None] * side for _ in range(side)]
-        gus = [[None] * side for _ in range(side)]
-        gvs = [[None] * side for _ in range(side)]
-        for i in range(side):
-            for j in range(side):
-                val = V1[i][j] * wu[0]
-                gu = V1[i][j] * dwu[0]
-                gv = V2[i][j] * wu[0]
-                for l in range(1, m2):
-                    val = val + V1[i][j + l] * wu[l]
-                    gu = gu + V1[i][j + l] * dwu[l]
-                    gv = gv + V2[i][j + l] * wu[l]
-                vals[i][j] = val
-                gus[i][j] = gu
-                gvs[i][j] = gv
-                r = val - refp_ref[i * side + j, :][None, :]
-                sum_abs_r = sum_abs_r + jnp.abs(r) * vmask
+        # stage 2 (horizontal): column j for all patch rows at once
+        vals = [None] * side
+        gus = [None] * side
+        gvs = [None] * side
+        sum_abs_slab = jnp.zeros((side,) + u.shape[1:], jnp.float32)
+        for j in range(side):
+            val = V1[:, j, :] * wu[0]
+            gu = V1[:, j, :] * dwu[0]
+            gv = V2[:, j, :] * wu[0]
+            for l in range(1, m2):
+                val = val + V1[:, j + l, :] * wu[l]
+                gu = gu + V1[:, j + l, :] * dwu[l]
+                gv = gv + V2[:, j + l, :] * wu[l]
+            vals[j] = val
+            gus[j] = gu
+            gvs[j] = gv
+            sum_abs_slab = sum_abs_slab + jnp.abs(val - refp_ref[j])
 
         # robust scale: sigma = 1.2533 * mean|r| over valid pixels
         n_valid = jnp.sum(vmask) * float(side * side)
         sigma = jnp.maximum(
-            1.2533 * jnp.sum(sum_abs_r) / jnp.maximum(n_valid, 1.0), 1e-3)
+            1.2533 * jnp.sum(jnp.sum(sum_abs_slab, axis=0,
+                                     keepdims=True) * vmask)
+            / jnp.maximum(n_valid, 1.0), 1e-3)
         inv_s2 = 1.0 / (sigma * sigma)
 
-        for i in range(side):
-            for j in range(side):
-                val = vals[i][j]
-                gu = gus[i][j]
-                gv = gvs[i][j]
-                r = val - refp_ref[i * side + j, :][None, :]
-                a_r = jnp.abs(r) / sigma
-                hub = jnp.where(a_r <= 1.345, 1.0,
-                                1.345 / jnp.maximum(a_r, 1e-9))
-                w = vmask * hub * inv_s2
-                A = A + w * gu * gu
-                Bc = Bc + w * gu * gv
-                C = C + w * gv * gv
-                Gu = Gu + w * gu * r
-                Gv = Gv + w * gv * r
+        A_s = jnp.zeros_like(sum_abs_slab)
+        B_s = jnp.zeros_like(sum_abs_slab)
+        C_s = jnp.zeros_like(sum_abs_slab)
+        Gu_s = jnp.zeros_like(sum_abs_slab)
+        Gv_s = jnp.zeros_like(sum_abs_slab)
+        for j in range(side):
+            r = vals[j] - refp_ref[j]
+            a_r = jnp.abs(r) / sigma
+            hub = jnp.where(a_r <= 1.345, 1.0,
+                            1.345 / jnp.maximum(a_r, 1e-9))
+            w = hub * inv_s2
+            gu, gv = gus[j], gvs[j]
+            A_s = A_s + w * gu * gu
+            B_s = B_s + w * gu * gv
+            C_s = C_s + w * gv * gv
+            Gu_s = Gu_s + w * gu * r
+            Gv_s = Gv_s + w * gv * r
+        A = jnp.sum(A_s, axis=0, keepdims=True) * vmask
+        Bc = jnp.sum(B_s, axis=0, keepdims=True) * vmask
+        C = jnp.sum(C_s, axis=0, keepdims=True) * vmask
+        Gu = jnp.sum(Gu_s, axis=0, keepdims=True) * vmask
+        Gv = jnp.sum(Gv_s, axis=0, keepdims=True) * vmask
 
         # patch-center Jacobians [6 rows of 1,N]
         zero = jnp.zeros_like(u)
@@ -219,10 +222,14 @@ def sparse_align_level_fused(T_cur_ref, blocks, ref_patches, points_ref,
     Returns (T_cur_ref', n_good).
     """
     N = blocks.shape[0]
+    side = 2 * half
     pose_in = jnp.concatenate([T_cur_ref["q"], T_cur_ref["t"],
                                jnp.zeros((1,))]).astype(jnp.float32)
     blocks_t = blocks.transpose(1, 2, 0).astype(jnp.float32)   # [S, S, N]
-    refp_t = ref_patches.T.astype(jnp.float32)                 # [P, N]
+    # column-major patch layout [j, i, N]: the kernel's stage-2 slices
+    # column j's reference rows contiguously as refp[j] -> [side, N]
+    refp_t = ref_patches.reshape(N, side, side).transpose(2, 1, 0) \
+        .astype(jnp.float32)
     pts_t = points_ref.T.astype(jnp.float32)                   # [3, N]
     ctr_t = center.T.astype(jnp.float32)                       # [2, N]
     val = valid.reshape(1, N).astype(jnp.float32)
