@@ -77,3 +77,34 @@ class TestFusedSparseAlign:
             scales, max_level=1, num_iters=4, use_pallas="interpret")
         err = lie.se3_log(lie.se3_compose(lie.se3_inverse(T), T_cur))
         assert float(jnp.linalg.norm(err)) < 2e-2, np.asarray(err)
+
+
+class TestFusedAlign2D:
+    def test_matches_xla_align2d(self):
+        """align2d_fused (interpret) vs ops.align.align2d on a real
+        image pair: same converged set (modulo boundary lanes) and
+        sub-0.05px position agreement on commonly-converged lanes."""
+        img_ref, img_cur, uv, pts, mask, T_cur = _setup(seed=2)
+        # reference patches from the ref image at the feature positions
+        ref_patches = align.extract_ref_patches(
+            img_ref, uv, half=align.ALIGN_HALF_PATCH)
+        # start the search 1-2 px off the true position
+        rng = np.random.RandomState(0)
+        uv0 = uv + jnp.asarray(rng.uniform(-1.5, 1.5, uv.shape)
+                               .astype(np.float32))
+
+        uv_x, conv_x, ncc_x = align.align2d(
+            img_ref, ref_patches, uv0, mask, with_score=True)
+        uv_p, conv_p, ncc_p = pallas_align.align2d_fused(
+            img_ref, ref_patches, uv0, mask, interpret=True)
+
+        conv_x = np.asarray(conv_x)
+        conv_p = np.asarray(conv_p)
+        both = conv_x & conv_p
+        assert both.sum() >= 0.8 * max(conv_x.sum(), 1), \
+            (int(conv_x.sum()), int(conv_p.sum()))
+        d = np.linalg.norm(np.asarray(uv_x)[both] - np.asarray(uv_p)[both],
+                           axis=-1)
+        assert d.max() < 0.05, d.max()
+        np.testing.assert_allclose(np.asarray(ncc_p)[both],
+                                   np.asarray(ncc_x)[both], atol=5e-3)

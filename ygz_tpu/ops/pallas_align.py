@@ -204,6 +204,200 @@ def _align_kernel(num_iters: int, half: int, margin: int,
     ngood_ref[0] = ngood.astype(jnp.int32)
 
 
+def _align2d_kernel(num_iters: int, half: int, margin: int,
+                    conv_eps: float,
+                    blocks_ref, refp_ref, uv0_ref, center_ref, valid_ref,
+                    uv_out, conv_out, ncc_out):
+    """Batched KLT (align2d) as one dispatch: every candidate's full GN
+    loop — window resample, per-lane 3x3 normal equations (du, dv, dm),
+    closed-form solve, clipped update — plus the final zero-mean NCC.
+    Same slab layout as _align_kernel: patch rows on sublanes, candidates
+    on lanes. Math mirrors ops.align.align2d (residual r = I(x+d) -
+    I_ref - dm, J = [gu, gv, -1], +1e-4 diagonal damping)."""
+    side = 2 * half
+    m2 = 2 * margin + 2
+
+    cu = center_ref[0:1, :]
+    cv = center_ref[1:2, :]
+    lane_valid = valid_ref[0:1, :] > 0.5
+
+    def tent(x):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+    def dtent(x):
+        return jnp.where((x > -1.0) & (x <= 0.0), -1.0,
+                         jnp.where((x > 0.0) & (x <= 1.0), 1.0, 0.0))
+
+    def resample(su, sv, with_grad=True):
+        wv = [tent(k - (sv + margin)) for k in range(m2)]
+        wu = [tent(k - (su + margin)) for k in range(m2)]
+        V1 = blocks_ref[0:side, :, :] * wv[0][None]
+        for k in range(1, m2):
+            V1 = V1 + blocks_ref[k:k + side, :, :] * wv[k][None]
+        if with_grad:
+            dwv = [dtent(k - (sv + margin)) for k in range(m2)]
+            dwu = [dtent(k - (su + margin)) for k in range(m2)]
+            V2 = blocks_ref[0:side, :, :] * dwv[0][None]
+            for k in range(1, m2):
+                V2 = V2 + blocks_ref[k:k + side, :, :] * dwv[k][None]
+        vals, gus, gvs = [], [], []
+        for j in range(side):
+            val = V1[:, j, :] * wu[0]
+            gu = V1[:, j, :] * dwu[0] if with_grad else None
+            gv = V2[:, j, :] * wu[0] if with_grad else None
+            for l in range(1, m2):
+                val = val + V1[:, j + l, :] * wu[l]
+                if with_grad:
+                    gu = gu + V1[:, j + l, :] * dwu[l]
+                    gv = gv + V2[:, j + l, :] * wu[l]
+            vals.append(val)
+            gus.append(gu)
+            gvs.append(gv)
+        return vals, gus, gvs
+
+    def gn_body(_, c):
+        u, v, dm, _ = c
+        su = u - cu
+        sv = v - cv
+        in_rng = (jnp.abs(su) <= margin) & (jnp.abs(sv) <= margin)
+        su = jnp.clip(su, -margin, margin)
+        sv = jnp.clip(sv, -margin, margin)
+        w = (lane_valid & in_rng).astype(jnp.float32)
+
+        vals, gus, gvs = resample(su, sv)
+        A = jnp.zeros_like(u)      # sum gu^2
+        Bq = jnp.zeros_like(u)     # sum gu gv
+        C = jnp.zeros_like(u)      # sum gv^2
+        Du = jnp.zeros_like(u)     # sum gu
+        Dv = jnp.zeros_like(u)     # sum gv
+        bu = jnp.zeros_like(u)     # sum gu r
+        bv = jnp.zeros_like(u)     # sum gv r
+        br = jnp.zeros_like(u)     # sum r
+        for j in range(side):
+            r = vals[j] - refp_ref[j] - dm
+            gu, gv = gus[j], gvs[j]
+            A = A + jnp.sum(gu * gu, 0, keepdims=True)
+            Bq = Bq + jnp.sum(gu * gv, 0, keepdims=True)
+            C = C + jnp.sum(gv * gv, 0, keepdims=True)
+            Du = Du + jnp.sum(gu, 0, keepdims=True)
+            Dv = Dv + jnp.sum(gv, 0, keepdims=True)
+            bu = bu + jnp.sum(gu * r, 0, keepdims=True)
+            bv = bv + jnp.sum(gv * r, 0, keepdims=True)
+            br = br + jnp.sum(r, 0, keepdims=True)
+        P = float(side * side)
+        # H = w * [[A, B, -Du], [B, C, -Dv], [-Du, -Dv, P]] + 1e-4 I;
+        # b = -w * [bu, bv, -br]. The per-lane weight w scales H and b
+        # identically, so solve with the unweighted entries and zero the
+        # step for invalid lanes (matches the XLA path exactly up to the
+        # damping term, which is negligible at these magnitudes).
+        h00 = A + 1e-4
+        h01 = Bq
+        h02 = -Du
+        h11 = C + 1e-4
+        h12 = -Dv
+        h22 = P + 1e-4
+        g0 = -bu
+        g1 = -bv
+        g2 = br
+        # closed-form 3x3 solve (adjugate / det)
+        c00 = h11 * h22 - h12 * h12
+        c01 = h02 * h12 - h01 * h22
+        c02 = h01 * h12 - h02 * h11
+        det = h00 * c00 + h01 * c01 + h02 * c02
+        c11 = h00 * h22 - h02 * h02
+        c12 = h01 * h02 - h00 * h12
+        c22 = h00 * h11 - h01 * h01
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        du = (c00 * g0 + c01 * g1 + c02 * g2) * inv_det
+        dv_ = (c01 * g0 + c11 * g1 + c12 * g2) * inv_det
+        ddm = (c02 * g0 + c12 * g1 + c22 * g2) * inv_det
+        fin = jnp.isfinite(du) & jnp.isfinite(dv_) & jnp.isfinite(ddm) \
+            & (w > 0)
+        du = jnp.where(fin, du, 0.0)
+        dv_ = jnp.where(fin, dv_, 0.0)
+        ddm = jnp.where(fin, ddm, 0.0)
+        u2 = jnp.clip(u + du, cu - margin, cu + margin)
+        v2 = jnp.clip(v + dv_, cv - margin, cv + margin)
+        step = jnp.sqrt(du * du + dv_ * dv_)
+        return u2, v2, dm + ddm, step
+
+    u0 = uv0_ref[0:1, :]
+    v0 = uv0_ref[1:2, :]
+    u, v, dm, last_step = jax.lax.fori_loop(
+        0, num_iters, gn_body,
+        (u0, v0, jnp.zeros_like(u0), jnp.full_like(u0, 1e9)))
+
+    conv = lane_valid & (last_step < conv_eps)
+    # final resample for the zero-mean NCC gate
+    su = u - cu
+    sv = v - cv
+    in_rng = (jnp.abs(su) <= margin) & (jnp.abs(sv) <= margin)
+    vals, _, _ = resample(jnp.clip(su, -margin, margin),
+                          jnp.clip(sv, -margin, margin))
+    P = float(side * side)
+    sum_v = jnp.zeros_like(u)
+    sum_r = jnp.zeros_like(u)
+    for j in range(side):
+        sum_v = sum_v + jnp.sum(vals[j], 0, keepdims=True)
+        sum_r = sum_r + jnp.sum(refp_ref[j], 0, keepdims=True)
+    mean_v = sum_v / P
+    mean_r = sum_r / P
+    saa = jnp.zeros_like(u)
+    sbb = jnp.zeros_like(u)
+    sab = jnp.zeros_like(u)
+    for j in range(side):
+        a = vals[j] - mean_v
+        b = refp_ref[j] - mean_r
+        saa = saa + jnp.sum(a * a, 0, keepdims=True)
+        sbb = sbb + jnp.sum(b * b, 0, keepdims=True)
+        sab = sab + jnp.sum(a * b, 0, keepdims=True)
+    ncc = sab / jnp.sqrt(saa * sbb + 1e-6)
+
+    uv_out[0:1, :] = u
+    uv_out[1:2, :] = v
+    conv_out[0:1, :] = (conv & in_rng).astype(jnp.float32)
+    ncc_out[0:1, :] = ncc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_iters", "half", "margin", "conv_eps", "interpret"))
+def align2d_fused(img, ref_patches, uv_init, mask,
+                  num_iters: int = 10, half: int = 4, margin: int = 5,
+                  conv_eps: float = 0.03, interpret: bool = False):
+    """Drop-in fused variant of ops.align.align2d(with_score=True): one
+    Pallas dispatch for the whole batched KLT + NCC (the XLA while-loop
+    version runs ~20 op-groups x 10 iterations inside the fused tracking
+    program). Returns (uv [M,2], converged [M] bool, ncc [M])."""
+    from ygz_tpu.ops.interp import gather_anchored_blocks
+    M = uv_init.shape[0]
+    blocks, corner, blk_valid = gather_anchored_blocks(
+        img, uv_init, half, margin)
+    center = corner + (half + margin)
+    side = 2 * half
+
+    blocks_t = blocks.transpose(1, 2, 0).astype(jnp.float32)   # [S, S, M]
+    refp_t = ref_patches.reshape(M, side, side).transpose(2, 1, 0) \
+        .astype(jnp.float32)                                   # [j, i, M]
+    uv0_t = uv_init.T.astype(jnp.float32)                      # [2, M]
+    ctr_t = center.T.astype(jnp.float32)
+    val = (mask & blk_valid).reshape(1, M).astype(jnp.float32)
+
+    kern = functools.partial(_align2d_kernel, num_iters, half, margin,
+                             float(conv_eps))
+    uv, conv, ncc = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        interpret=interpret,
+    )(blocks_t, refp_t, uv0_t, ctr_t, val)
+    return uv.T, (conv[0] > 0.5) & mask & blk_valid, ncc[0]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_iters", "half", "margin", "fx", "fy", "cx", "cy", "interpret"))
 def sparse_align_level_fused(T_cur_ref, blocks, ref_patches, points_ref,

@@ -285,8 +285,16 @@ def search_local_points_direct(ms: MapState, cand_idx, T_cw, pyr_cur,
           (uv_lvl[:, 1] >= m) & (uv_lvl[:, 1] < h_l - m)
     sel = valid & inb
     uv_at = uv_lvl.at[:, 0].add(xoff)
-    uv_ref_out, conv, ncc = align.align2d(
-        atlas, ref_patches, uv_at, sel, with_score=True)
+    if jax.default_backend() == "tpu":
+        # fused KLT: one Pallas dispatch for the whole batched loop
+        # (the XLA while-loop version runs ~20 op-groups x 10 iters
+        # inside the fused tracking program)
+        from ygz_tpu.ops import pallas_align
+        uv_ref_out, conv, ncc = pallas_align.align2d_fused(
+            atlas, ref_patches, uv_at, sel)
+    else:
+        uv_ref_out, conv, ncc = align.align2d(
+            atlas, ref_patches, uv_at, sel, with_score=True)
     uv0 = (uv_ref_out - jnp.stack([xoff, jnp.zeros_like(xoff)], -1)) \
         * lvl_scale[:, None]
     moved = jnp.linalg.norm(uv0 - uv0_in, axis=-1)
