@@ -238,7 +238,14 @@ def describe_keypoints_atlas(blur_atlas, xoffs, uv0, level, mask, scales,
     blocks_d = gather_blocks(blur_atlas, vi - _DESC_HALF, ui - _DESC_HALF,
                              DESC_BLOCK, DESC_BLOCK)
     flat_d = blocks_d.reshape(blocks_d.shape[0], -1)     # [N, 1444]
-    diffs = flat_d @ selector                            # [N, BINS*256]
+    # bf16 operands, f32 accumulate: the +/-1 pair-selection matmul only
+    # feeds a SIGN test; bf16's ~3 decimal digits on 0-255 intensities
+    # moves near-zero differences by <0.5 gray level — at most an
+    # occasional flipped bit out of 256, invisible to Hamming matching,
+    # while the MXU runs several times faster than in f32
+    diffs = jnp.dot(flat_d.astype(jnp.bfloat16),
+                    selector.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)  # [N, BINS*256]
     two_pi = 2.0 * jnp.pi
     bin_f = jnp.mod(ang, two_pi) / (two_pi / ANGLE_BINS)
     b = jnp.mod(jnp.round(bin_f).astype(jnp.int32), ANGLE_BINS)
