@@ -370,8 +370,13 @@ def refine_bound_observations(ms: MapState, slot, pyr, cam,
     inb = (uv_lvl[:, 0] >= m) & (uv_lvl[:, 0] < w_l - m) & \
           (uv_lvl[:, 1] >= m) & (uv_lvl[:, 1] < h_l - m)
     sel = bound & inb
-    uv_new, conv = align.align2d(atlas, patches,
-                                 uv_lvl.at[:, 0].add(xoff), sel)
+    if jax.default_backend() == "tpu":
+        from ygz_tpu.ops import pallas_align
+        uv_new, conv, _ = pallas_align.align2d_fused(
+            atlas, patches, uv_lvl.at[:, 0].add(xoff), sel)
+    else:
+        uv_new, conv = align.align2d(atlas, patches,
+                                     uv_lvl.at[:, 0].add(xoff), sel)
     uv0 = (uv_new - jnp.stack([xoff, jnp.zeros_like(xoff)], -1)) \
         * lvl_scale[:, None]
     moved = jnp.linalg.norm(uv0 - uv_det, axis=-1)
