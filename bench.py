@@ -101,10 +101,19 @@ def bench_kernel(report_stages: bool = True):
     @jax.jit
     def frame_step(raw_cur, pyr_ref, T_init):
         pyr_cur = pyramid.build_pyramid(raw_cur, n_levels, scale)
+        # same stage parameters as the system's fused_direct_step:
+        # 3-level sparse align (min_level=1, Tracking.cc:207 parity)
+        # and the fused KLT on TPU
         T, _ = align.sparse_image_align(
             T_init, pyr_ref, pyr_cur, uv, pts_ref, mask, cam, scales,
-            max_level=n_levels - 1)
-        uv_ref, conv = align.align2d(pyr_cur[0], ref_patches, uv_c, mask_c)
+            max_level=n_levels - 1, min_level=1)
+        if on_tpu:
+            from ygz_tpu.ops import pallas_align
+            uv_ref, conv, _ = pallas_align.align2d_fused(
+                pyr_cur[0], ref_patches, uv_c, mask_c)
+        else:
+            uv_ref, conv = align.align2d(pyr_cur[0], ref_patches, uv_c,
+                                         mask_c)
         if on_tpu:
             from ygz_tpu.ops import pallas_pose
             T2, inlier, n_in = pallas_pose.pose_optimization_fused(
@@ -144,9 +153,14 @@ def bench_kernel(report_stages: bool = True):
         s_pyr = jax.jit(lambda im: pyramid.build_pyramid(im, n_levels, scale))
         s_sa = jax.jit(lambda pr, pc: align.sparse_image_align(
             T0, pr, pc, uv, pts_ref, mask, cam, scales,
-            max_level=n_levels - 1))
-        s_klt = jax.jit(lambda im: align.align2d(im, ref_patches, uv_c,
-                                                 mask_c))
+            max_level=n_levels - 1, min_level=1))
+        if on_tpu:
+            from ygz_tpu.ops import pallas_align as _pa
+            s_klt = jax.jit(lambda im: _pa.align2d_fused(
+                im, ref_patches, uv_c, mask_c)[:2])
+        else:
+            s_klt = jax.jit(lambda im: align.align2d(im, ref_patches, uv_c,
+                                                     mask_c))
         t_p, pyr_cur = timed(s_pyr, img_cur)
         t_s, (T_sa, _) = timed(s_sa, pyr_ref, pyr_cur)
         t_k, (uv_r, conv) = timed(s_klt, pyr_cur[0])
