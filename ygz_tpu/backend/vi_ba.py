@@ -406,8 +406,15 @@ def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
 
         zero15 = jnp.zeros((prob.obs_kf.shape[0], 15))
         rv = jax.vmap(obs_res)(zero15, ns_o, pts_obs, prob.obs_uv)  # [O, 2]
-        J_po = jax.vmap(jax.jacfwd(obs_res))(
-            zero15, ns_o, pts_obs, prob.obs_uv)          # [O, 2, 15]
+        # analytic pose-side block (see _vision_jac6): vision touches
+        # only (dP, dphi); the 15-wide jacfwd here was the window BA's
+        # dominant per-iteration cost
+        J6 = jax.vmap(lambda n_o, pt: _vision_jac6(
+            n_o, Tbc, pt[None], fx, fy)[0])(ns_o, pts_obs)  # [O, 2, 6]
+        import numpy as _np
+        _slots = _np.asarray(_VIS_SLOTS)
+        J_po = jnp.zeros((prob.obs_kf.shape[0], 2, 15)) \
+            .at[:, :, _slots].set(J6)                    # [O, 2, 15]
         onehot = eyeW[prob.obs_kf]                       # [O, W]
         Jvf = (J_po[:, :, None, :] * onehot[:, None, :, None]
                ).reshape(-1, 2, D)
