@@ -359,14 +359,20 @@ def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
                          kf_major=kf_major)
         cost_try = _ba_cost(p_try, inlier, fx, fy, cx, cy, bf, robust)
         accept = cost_try < cost
-        # converged: an ACCEPTED step that barely moved the cost. Early
-        # exit changes nothing about the solution — it skips iterations
-        # the fixed-count loop would spend re-deriving the same point
-        # (typical local BA converges in 2-4 accepted steps; each saved
-        # iteration is a full assembly + CG solve of device time). g2o's
-        # terminateAction does the same on relative chi2 decrease.
+        # converged: an ACCEPTED near-GN step (mu small) that barely
+        # moved the cost. Early exit changes nothing about the solution —
+        # it skips iterations the fixed-count loop would spend
+        # re-deriving the same point (typical local BA converges in 2-4
+        # accepted steps; each saved iteration is a full assembly + CG
+        # solve of device time). The mu gate is ESSENTIAL: on hard
+        # problems LM inflates mu and crawls through tiny accepted
+        # improvements that are NOT convergence — exiting there left the
+        # pre-VI-init global BA with 16x the pose error and flipped the
+        # [s, g] scale sign (observed). g2o's terminateAction gates on
+        # relative chi2 decrease the same way only because its damping
+        # stays near-GN on accepted sequences.
         rel = (cost - cost_try) / jnp.maximum(cost, 1e-12)
-        stop = accept & (rel < 1e-5)
+        stop = accept & (rel < 1e-6) & (mu < 1e-3)
         p = jax.tree.map(
             lambda old, new: jnp.where(
                 accept.reshape((1,) * old.ndim), new, old), p, p_try)

@@ -291,14 +291,17 @@ class VioTracker(Tracker):
                                     self.cfg.gyro_noise, self.cfg.acc_noise)
 
     # ------------------------------------------------------------------
-    def on_keyframe_killed(self, k: int):
+    def on_keyframe_killed(self, k: int, anchor=None, T_dead_anchor=None):
         """Chain repair when mapping culls KF k: merge its IMU gap into
         its temporal successor and re-preintegrate, so the per-gap
         preintegration chain the VI init/window BA depends on stays
         contiguous (the reference merges IMU data into the next KF and
         recomputes its preintegration on SetBadFlag,
-        /root/reference/src/KeyFrame.cc SetBadFlag + ComputePreInt)."""
-        super().on_keyframe_killed(k)
+        /root/reference/src/KeyFrame.cc SetBadFlag + ComputePreInt).
+        anchor/T_dead_anchor ride through to the base tracker's
+        trajectory re-anchoring (mapping.resolve_pending passes them)."""
+        super().on_keyframe_killed(k, anchor=anchor,
+                                   T_dead_anchor=T_dead_anchor)
         if k in self.kf_order:
             i = self.kf_order.index(k)
             if i + 1 < len(self.kf_order):
