@@ -28,6 +28,19 @@ from ygz_tpu.ops.pallas_pose import (_chol6_solve, _quat_mul_scalars,
                                      _so3_exp_scalars)
 
 
+def _rowsum(x, n: int):
+    """Sum a [n, N] slab over its sublane (first) axis via explicit
+    row-slice adds. The chip's Mosaic toolchain rejects
+    vector.multi_reduction over a dimension whose layout carries a
+    non-zero sublane offset — exactly what slab slices like
+    blocks_ref[k:k+side] produce. Row slices + adds lower to sublane
+    rotates + VPU adds, which carry no such restriction."""
+    s = x[0:1, :]
+    for i in range(1, n):
+        s = s + x[i:i + 1, :]
+    return s
+
+
 def _align_kernel(num_iters: int, half: int, margin: int,
                   fx, fy, cx_, cy_,
                   pose_ref, blocks_ref, refp_ref, pts_ref, center_ref,
@@ -112,8 +125,7 @@ def _align_kernel(num_iters: int, half: int, margin: int,
         # robust scale: sigma = 1.2533 * mean|r| over valid pixels
         n_valid = jnp.sum(vmask) * float(side * side)
         sigma = jnp.maximum(
-            1.2533 * jnp.sum(jnp.sum(sum_abs_slab, axis=0,
-                                     keepdims=True) * vmask)
+            1.2533 * jnp.sum(_rowsum(sum_abs_slab, side) * vmask)
             / jnp.maximum(n_valid, 1.0), 1e-3)
         inv_s2 = 1.0 / (sigma * sigma)
 
@@ -134,11 +146,11 @@ def _align_kernel(num_iters: int, half: int, margin: int,
             C_s = C_s + w * gv * gv
             Gu_s = Gu_s + w * gu * r
             Gv_s = Gv_s + w * gv * r
-        A = jnp.sum(A_s, axis=0, keepdims=True) * vmask
-        Bc = jnp.sum(B_s, axis=0, keepdims=True) * vmask
-        C = jnp.sum(C_s, axis=0, keepdims=True) * vmask
-        Gu = jnp.sum(Gu_s, axis=0, keepdims=True) * vmask
-        Gv = jnp.sum(Gv_s, axis=0, keepdims=True) * vmask
+        A = _rowsum(A_s, side) * vmask
+        Bc = _rowsum(B_s, side) * vmask
+        C = _rowsum(C_s, side) * vmask
+        Gu = _rowsum(Gu_s, side) * vmask
+        Gv = _rowsum(Gv_s, side) * vmask
 
         # patch-center Jacobians [6 rows of 1,N]
         zero = jnp.zeros_like(u)
@@ -265,25 +277,33 @@ def _align2d_kernel(num_iters: int, half: int, margin: int,
         w = (lane_valid & in_rng).astype(jnp.float32)
 
         vals, gus, gvs = resample(su, sv)
-        A = jnp.zeros_like(u)      # sum gu^2
-        Bq = jnp.zeros_like(u)     # sum gu gv
-        C = jnp.zeros_like(u)      # sum gv^2
-        Du = jnp.zeros_like(u)     # sum gu
-        Dv = jnp.zeros_like(u)     # sum gv
-        bu = jnp.zeros_like(u)     # sum gu r
-        bv = jnp.zeros_like(u)     # sum gv r
-        br = jnp.zeros_like(u)     # sum r
+        # accumulate the normal-equation sums as [side, M] slabs first
+        # (elementwise adds), reduce sublanes once at the end via
+        # _rowsum — a direct axis-0 jnp.sum over the offset-layout slab
+        # slices is rejected by the chip's Mosaic (see _rowsum).
+        zs = jnp.zeros_like(gus[0])
+        A_s, B_s, C_s = zs, zs, zs             # gu^2, gu gv, gv^2
+        Du_s, Dv_s = zs, zs                    # gu, gv
+        bu_s, bv_s, br_s = zs, zs, zs          # gu r, gv r, r
         for j in range(side):
             r = vals[j] - refp_ref[j] - dm
             gu, gv = gus[j], gvs[j]
-            A = A + jnp.sum(gu * gu, 0, keepdims=True)
-            Bq = Bq + jnp.sum(gu * gv, 0, keepdims=True)
-            C = C + jnp.sum(gv * gv, 0, keepdims=True)
-            Du = Du + jnp.sum(gu, 0, keepdims=True)
-            Dv = Dv + jnp.sum(gv, 0, keepdims=True)
-            bu = bu + jnp.sum(gu * r, 0, keepdims=True)
-            bv = bv + jnp.sum(gv * r, 0, keepdims=True)
-            br = br + jnp.sum(r, 0, keepdims=True)
+            A_s = A_s + gu * gu
+            B_s = B_s + gu * gv
+            C_s = C_s + gv * gv
+            Du_s = Du_s + gu
+            Dv_s = Dv_s + gv
+            bu_s = bu_s + gu * r
+            bv_s = bv_s + gv * r
+            br_s = br_s + r
+        A = _rowsum(A_s, side)
+        Bq = _rowsum(B_s, side)
+        C = _rowsum(C_s, side)
+        Du = _rowsum(Du_s, side)
+        Dv = _rowsum(Dv_s, side)
+        bu = _rowsum(bu_s, side)
+        bv = _rowsum(bv_s, side)
+        br = _rowsum(br_s, side)
         P = float(side * side)
         # H = w * [[A, B, -Du], [B, C, -Dv], [-Du, -Dv, P]] + 1e-4 I;
         # b = -w * [bu, bv, -br]. The per-lane weight w scales H and b
@@ -335,22 +355,23 @@ def _align2d_kernel(num_iters: int, half: int, margin: int,
     vals, _, _ = resample(jnp.clip(su, -margin, margin),
                           jnp.clip(sv, -margin, margin))
     P = float(side * side)
-    sum_v = jnp.zeros_like(u)
-    sum_r = jnp.zeros_like(u)
+    zs = jnp.zeros_like(vals[0])
+    sv_s, sr_s = zs, zs
     for j in range(side):
-        sum_v = sum_v + jnp.sum(vals[j], 0, keepdims=True)
-        sum_r = sum_r + jnp.sum(refp_ref[j], 0, keepdims=True)
-    mean_v = sum_v / P
-    mean_r = sum_r / P
-    saa = jnp.zeros_like(u)
-    sbb = jnp.zeros_like(u)
-    sab = jnp.zeros_like(u)
+        sv_s = sv_s + vals[j]
+        sr_s = sr_s + refp_ref[j]
+    mean_v = _rowsum(sv_s, side) / P
+    mean_r = _rowsum(sr_s, side) / P
+    saa_s, sbb_s, sab_s = zs, zs, zs
     for j in range(side):
         a = vals[j] - mean_v
         b = refp_ref[j] - mean_r
-        saa = saa + jnp.sum(a * a, 0, keepdims=True)
-        sbb = sbb + jnp.sum(b * b, 0, keepdims=True)
-        sab = sab + jnp.sum(a * b, 0, keepdims=True)
+        saa_s = saa_s + a * a
+        sbb_s = sbb_s + b * b
+        sab_s = sab_s + a * b
+    saa = _rowsum(saa_s, side)
+    sbb = _rowsum(sbb_s, side)
+    sab = _rowsum(sab_s, side)
     ncc = sab / jnp.sqrt(saa * sbb + 1e-6)
 
     uv_out[0:1, :] = u
