@@ -403,20 +403,48 @@ def align2d_fused(img, ref_patches, uv_init, mask,
     ctr_t = center.T.astype(jnp.float32)
     val = (mask & blk_valid).reshape(1, M).astype(jnp.float32)
 
+    # tile candidates over a lane-chunk grid: the fully-unrolled GN body
+    # keeps ~19x19 slab temporaries live per lane, so one instance over
+    # the whole batch blows the 16 MB scoped-VMEM budget past ~600
+    # lanes (observed 18.9 MB at M=1000). 512-lane chunks keep each
+    # instance < 10 MB with zero extra HBM traffic.
+    BM = 512
+    Mp = -(-M // BM) * BM
+    if Mp != M:
+        pad = Mp - M
+        blocks_t = jnp.pad(blocks_t, ((0, 0), (0, 0), (0, pad)))
+        refp_t = jnp.pad(refp_t, ((0, 0), (0, 0), (0, pad)))
+        uv0_t = jnp.pad(uv0_t, ((0, 0), (0, pad)))
+        ctr_t = jnp.pad(ctr_t, ((0, 0), (0, pad)))
+        val = jnp.pad(val, ((0, 0), (0, pad)))
+    S = blocks_t.shape[0]
+
     kern = functools.partial(_align2d_kernel, num_iters, half, margin,
                              float(conv_eps))
     uv, conv, ncc = pl.pallas_call(
         kern,
+        grid=(Mp // BM,),
         out_shape=(
-            jax.ShapeDtypeStruct((2, M), jnp.float32),
-            jax.ShapeDtypeStruct((1, M), jnp.float32),
-            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((2, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Mp), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        in_specs=[
+            pl.BlockSpec((S, S, BM), lambda i: (0, 0, i)),
+            pl.BlockSpec((side, side, BM), lambda i: (0, 0, i)),
+            pl.BlockSpec((2, BM), lambda i: (0, i)),
+            pl.BlockSpec((2, BM), lambda i: (0, i)),
+            pl.BlockSpec((1, BM), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, BM), lambda i: (0, i)),
+            pl.BlockSpec((1, BM), lambda i: (0, i)),
+            pl.BlockSpec((1, BM), lambda i: (0, i)),
+        ),
         interpret=interpret,
     )(blocks_t, refp_t, uv0_t, ctr_t, val)
-    return uv.T, (conv[0] > 0.5) & mask & blk_valid, ncc[0]
+    return (uv[:, :M].T, (conv[0, :M] > 0.5) & mask & blk_valid,
+            ncc[0, :M])
 
 
 @functools.partial(jax.jit, static_argnames=(
