@@ -295,7 +295,7 @@ def _ba_cost(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust):
     return jnp.sum(jnp.where(valid, c, 0.0))
 
 
-def _cg_solve(S, g, iters: int = 48):
+def _cg_solve(S, g, iters: int = 32):
     """Jacobi-preconditioned conjugate gradients on the (damped, SPD)
     reduced camera system. TPU has no fast small dense factorization
     (LU/Cholesky at 192x192 cost ~1.5 ms/call); CG is matvec-only and
@@ -372,7 +372,7 @@ def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
         # relative chi2 decrease the same way only because its damping
         # stays near-GN on accepted sequences.
         rel = (cost - cost_try) / jnp.maximum(cost, 1e-12)
-        stop = accept & (rel < 1e-6) & (mu < 1e-3)
+        stop = accept & (rel < 1e-5) & (mu < 1e-3)
         p = jax.tree.map(
             lambda old, new: jnp.where(
                 accept.reshape((1,) * old.ndim), new, old), p, p_try)

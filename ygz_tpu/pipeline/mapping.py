@@ -123,6 +123,10 @@ class LocalMapping:
                 use_imu, do_cull=do_cull)
             timing.sync(tracker.ms.mp_pos)
         self.pending.append(stats)
+        # async device->host copy: by drain time the stats bytes are
+        # already host-side (see tracking.track_pipelined)
+        from ygz_tpu.utils.prefetch import host_prefetch
+        host_prefetch(stats)
         if tracker.pipeline_depth <= 1:
             # synchronous mode: resolve now (one readback per KF)
             self.resolve_pending(tracker)

@@ -32,6 +32,7 @@ from ygz_tpu.ops import align
 from ygz_tpu.pipeline import frame as frame_mod
 from ygz_tpu.pipeline import initializer, map_ops, mapstate
 from ygz_tpu.pipeline.mapstate import MapState
+from ygz_tpu.utils import prefetch as prefetch_mod
 from ygz_tpu.utils import timing
 from ygz_tpu.utils.config import SlamConfig
 from ygz_tpu.utils.log import logger
@@ -282,14 +283,23 @@ class Tracker:
             self.ms, mp_visible=out.mp_visible, mp_found=out.mp_found)
 
         self._pending.append((fr, out, pre_counters))
+        # start the gate bundle's device->host copy NOW: it rides the
+        # device stream behind the fused step, so the later drain's
+        # device_get finds the bytes already host-side instead of paying
+        # a ~27 ms tunnel round trip per drain
+        prefetch_mod.host_prefetch(out.bundle)
         self.last_frame = fr
-        # once the pipe exceeds `depth`, resolve everything but the
-        # newest frame in ONE batched readback: the amortization is
-        # `depth` frames per round trip, while gate decisions lag only
-        # 1..depth+1 frames (draining half of a 2*depth pipe would lag
-        # depth..2*depth — measurably worse tracking on fast motion)
+        # once the pipe exceeds `depth`, resolve the oldest frames but
+        # KEEP depth/2 in flight: the youngest pending frame's device
+        # work is still upload-gated (the image copy streams on its own
+        # thread), so draining all-but-newest blocked ~a full pipeline
+        # period per drain; the kept tail has depth/2 frames of slack —
+        # by the next drain its work (and async host copy) is done and
+        # the readback costs ~nothing. Gate decisions lag 1..1.5*depth
+        # frames (vs 1..depth+1) — still bounded, same recovery path.
         if len(self._pending) > self.pipeline_depth:
-            self._drain_pipeline(len(self._pending) - 1, next_fr=fr)
+            keep = max(1, self.pipeline_depth // 2)
+            self._drain_pipeline(len(self._pending) - keep, next_fr=fr)
         return fr.T_cw
 
     def flush_pipeline(self):
