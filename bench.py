@@ -386,11 +386,20 @@ def synthetic_render_jittable(tex, T_cw, cam):
 
 
 def bench_system(n_frames: int = 200, warm_frames: int = 40,
-                 use_loop_closing: bool = False):
+                 use_loop_closing: bool = False,
+                 device_resident: bool = False):
     """Full-system steady-state throughput: System.track_monocular on a
     752x480 synthetic world, wall-clock over the post-warm-up window
     INCLUDING pipeline drains and keyframe/mapping work. Returns
-    (throughput_fps, tracked_fraction, median_call_fps)."""
+    (throughput_fps, tracked_fraction, median_call_fps).
+
+    device_resident=True stages all frames in HBM before the clock
+    starts — the DMA/zero-copy-capture configuration. The headline run
+    keeps frames host-side (every byte crosses the link inside the
+    measured window); on this tunneled chip that link runs at ~30 MB/s
+    (~12 ms/frame), which IS the headline's ceiling, so the secondary
+    number is what the same system does when image delivery is not the
+    bottleneck."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
     import synthetic
@@ -441,7 +450,12 @@ def bench_system(n_frames: int = 200, warm_frames: int = 40,
     # real dataset loader would deliver them: every byte crosses the
     # link inside the measured window; the copy overlaps compute instead
     # of serializing into the dispatch stream (ygz_tpu/utils/prefetch.py)
-    feed = prefetch_arrays(frames, depth=6)
+    if device_resident:
+        import jax.numpy as jnp
+        feed = [jnp.asarray(f) for f in frames]
+        jax.block_until_ready(feed[-1])
+    else:
+        feed = prefetch_arrays(frames, depth=6)
     for i, ((ts, _), img) in enumerate(zip(traj, feed)):
         if i == warm_frames:
             timing.reset()   # attribution covers ONLY the measured window
@@ -520,6 +534,22 @@ def main():
         print(f"[bench] system bench failed: {e!r}", file=sys.stderr)
         system_fps, tracked, med_fps = None, 0.0, 0.0
 
+    dev_fps = None
+    if system_fps is not None \
+            and not os.environ.get("BENCH_SKIP_DEVICE_RESIDENT"):
+        try:
+            # secondary, separately-labeled configuration: frames staged
+            # in HBM (zero-copy capture / DMA delivery) — shows system
+            # throughput when the ~30 MB/s tunnel is not the ceiling
+            dev_fps, dev_tracked, _ = bench_system(
+                use_loop_closing=os.environ.get("BENCH_LOOP", "1") != "0",
+                device_resident=True)
+            if dev_tracked < 0.9:
+                dev_fps = None
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] device-resident bench failed: {e!r}",
+                  file=sys.stderr)
+
     if system_fps is not None and np.isfinite(kernel_fps) \
             and system_fps > kernel_fps * 1.2:
         # a "system" faster than its own device hot path is a metric
@@ -545,6 +575,8 @@ def main():
             "unit": "frames/s",
             "vs_baseline": round(kernel_fps / 50.0, 3),
         }
+    if dev_fps is not None:
+        out["system_fps_device_resident"] = round(dev_fps, 2)
     if vio_fps is not None:
         out["vio_fps"] = round(vio_fps, 2)
     if vio_system_fps is not None:

@@ -100,7 +100,12 @@ def run_sequence(system, frames, args, track_fn):
     times = []
     t_prev = None
     n = 0
-    for item in frames:
+    # dataset images cross the host->device link on a dedicated transfer
+    # thread, a few frames ahead — on a tunneled TPU the copy is the
+    # single largest per-frame cost and serializes badly when issued
+    # from the dispatch thread (ygz_tpu/utils/prefetch.py)
+    from ygz_tpu.utils.prefetch import prefetch_arrays
+    for item in prefetch_arrays(frames, depth=4):
         ts = item[0]
         if args.realtime and t_prev is not None:
             gap = ts - t_prev

@@ -88,7 +88,12 @@ class FrameUploader:
             return None
         if isinstance(item, (tuple, list)):
             return type(item)(self._upload_one(x) for x in item)
-        return jnp.asarray(item)
+        # only image-like payloads go to the device: timestamps, IMU
+        # row-blocks and other small host-side metadata pass through
+        # (dataset items are tuples like (ts, img) / (ts, imgL, imgR))
+        if hasattr(item, "ndim") and item.ndim >= 2 and item.size >= 16384:
+            return jnp.asarray(item)
+        return item
 
     def _run(self):
         while True:
