@@ -131,7 +131,7 @@ def pose_optimization_vi(ns0: ns_mod.NavState, ns_ref: ns_mod.NavState,
                          prior_H: Optional[jnp.ndarray] = None,
                          prior_ns: Optional[ns_mod.NavState] = None,
                          bias_hat: Optional[Tuple] = None,
-                         rounds: int = 3, iters: int = 6,
+                         rounds: int = 2, iters: int = 5,
                          marginalize: bool = True,
                          bias_walk: Optional[Tuple] = None,
                          return_last: bool = False):

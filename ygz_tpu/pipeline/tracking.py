@@ -1305,7 +1305,12 @@ class Tracker:
             self.ms = self._insert_kf_from_frame(fr, slot, fr.mp_idx)
             timing.sync(self.ms.kf_q)
         self.n_kf += 1
-        if fr.depth is not None:
+        # gate on the depth SOURCE, not the depth array: mono frames
+        # carry an all--1 depth table (static shapes), and entering the
+        # creation path costs a blocking host readback of the validity
+        # mask per KF just to find zero candidates
+        if fr.depth is not None and (fr.depth_img is not None
+                                     or fr.right_pyr is not None):
             self._create_depth_map_points(fr, slot)
         with timing.stage("track.kf.bind"):
             self.ms = map_ops.bind_observations(self.ms)

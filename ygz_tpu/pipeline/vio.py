@@ -34,10 +34,13 @@ from ygz_tpu.utils import timing
 from ygz_tpu.utils.config import SlamConfig
 
 IMU_PAD = 256       # per-gap IMU block capacity (KF preintegrations)
-FRAME_IMU_PAD = 64  # per-frame block inside the fused VI step: a small
-                    # pad keeps the in-program preintegration scan short
-                    # (~10 rows/frame at 100 Hz IMU / 10 fps video);
-                    # longer blocks fall back to the synchronous cascade
+FRAME_IMU_PAD = 16  # per-frame block inside the fused VI step. The
+                    # in-program preintegration is a sequential scan, so
+                    # its device cost is linear in the PAD, not the real
+                    # row count (~10 rows/frame at 200 Hz IMU / 20 fps;
+                    # measured ~85 us/row on chip). Frames with more
+                    # rows (startup delay bursts) fall back to the
+                    # synchronous cascade — see track_pipelined.
 
 
 def _pad_imu(rows: Optional[np.ndarray], cap: int = IMU_PAD):
