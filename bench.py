@@ -385,7 +385,7 @@ def synthetic_render_jittable(tex, T_cw, cam):
     return img.reshape(H, W)
 
 
-def bench_system(n_frames: int = 200, warm_frames: int = 40,
+def bench_system(n_frames: int = 200, warm_frames: int = 220,
                  use_loop_closing: bool = False,
                  device_resident: bool = False):
     """Full-system steady-state throughput: System.track_monocular on a
@@ -419,14 +419,24 @@ def bench_system(n_frames: int = 200, warm_frames: int = 40,
         detect_cell=32, detect_per_cell=5)
 
     # pre-render the sequence (the "dataset" — not part of frame cost);
-    # jit the renderer so each frame is one dispatch, not ~30 eager ops
+    # jit the renderer so each frame is one dispatch, not ~30 eager ops.
+    # The sequence is a 240-frame sweep driven TWICE (same per-frame
+    # motion as the r4 bench): the warm-up covers lap 1 — so the full
+    # loop-closing chain (detect -> Sim3 -> correct -> essential graph ->
+    # global BA) compiles and loads before the clock starts, instead of
+    # charging a one-off multi-second executable load to steady state —
+    # and the measured window is lap 2, where every stretch revisits
+    # lap-1 keyframes and the loop thread does real work.
     import jax
     tex = synthetic.make_texture(0, size=(1400, 2000))
-    traj = synthetic.orbit_trajectory(n_frames + warm_frames, dt=0.05)
+    lap = synthetic.orbit_trajectory(240, dt=0.05)
+    traj = lap + [(ts + 240 * 0.05, T_cw) for ts, T_cw in lap]
+    traj = traj[:n_frames + warm_frames]
     render_jit = jax.jit(
         lambda T: synthetic_render_jittable(tex, T, cam))
-    frames = [np.clip(np.asarray(render_jit(T_cw)), 0, 255).astype(np.uint8)
-              for _, T_cw in traj]
+    lap_frames = [np.clip(np.asarray(render_jit(T_cw)),
+                          0, 255).astype(np.uint8) for _, T_cw in lap]
+    frames = (lap_frames + lap_frames)[:n_frames + warm_frames]
 
     # pipelined depth 8: gate readbacks batched 8 frames deep so device
     # work streams and the tunnel round trip amortizes; frames are fed

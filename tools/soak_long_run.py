@@ -55,8 +55,17 @@ def main():
         detect_cell=32, detect_per_cell=5)
 
     tex = synthetic.make_texture(0, size=(1400, 2000))
-    traj = synthetic.orbit_trajectory(n_frames, dt=0.05)
+    # pre-render a 300-frame lap and drive it repeatedly (same pattern
+    # as bench.py): rendering inline cost a blocking 1.4 MB readback per
+    # frame over the tunnel, which measured the renderer, not the system
+    lap = synthetic.orbit_trajectory(300, dt=0.05)
     render_jit = jax.jit(lambda T: synthetic_render_jittable(tex, T, cam))
+    lap_frames = [np.clip(np.asarray(render_jit(T)), 0, 255).astype(np.uint8)
+                  for _, T in lap]
+    reps = (n_frames + 299) // 300
+    traj = [(k * 300 * 0.05 + ts, T) for k in range(reps)
+            for ts, T in lap][:n_frames]
+    frames = (lap_frames * reps)[:n_frames]
 
     slam = System(cfg, use_loop_closing=True, pipelined=True,
                   pipeline_depth=8)
@@ -70,8 +79,9 @@ def main():
     t0 = time.perf_counter()
     budget_s = float(os.environ.get("SOAK_BUDGET_S", "900"))
     done = 0
-    for i, (ts, T_cw) in enumerate(traj):
-        img = np.clip(np.asarray(render_jit(T_cw)), 0, 255).astype(np.uint8)
+    from ygz_tpu.utils.prefetch import prefetch_arrays
+    feed = prefetch_arrays(frames, depth=6)
+    for i, ((ts, T_cw), img) in enumerate(zip(traj, feed)):
         slam.track_monocular(img, ts)
         done = i + 1
         n_ok += int(slam.tracker.state == tracking.OK)
