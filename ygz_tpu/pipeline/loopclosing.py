@@ -58,10 +58,42 @@ class LoopClosing:
         self.last_sim3_scale: float = 1.0
         self.last_loop_pair = (-1, -1)
         self.last_precorrection = None  # dict of numpy kf_q/kf_t/mask/ts
+        # detection deferred by one keyframe: (slot, device bundle).
+        # The reference's LoopClosing runs on its own thread, consuming
+        # the LocalMapping queue asynchronously (LoopClosing.cc:70-102)
+        # — resolving KF k's detection while KF k+1 is being created is
+        # the same contract, and it converts the per-KF blocking
+        # device_get (which queues behind the frame-upload stream on a
+        # tunneled device, ~50 ms) into a free read of an already
+        # host-prefetched bundle.
+        self._pending_detect = None
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, tracker, slot: int):
-        cands = self._detect_loop(tracker, slot)
+        fired = self._resolve_pending(tracker)
+        # enqueue gates (reference: mnId < mLastLoopKFid + 10,
+        # /root/reference/src/LoopClosing.cc:114-118)
+        if slot - self.last_loop_kf < 10 or tracker.n_kf < 10:
+            return fired
+        from ygz_tpu.utils.prefetch import host_prefetch
+        bundle = _detect_bundle_jit(tracker.ms, slot)
+        host_prefetch(bundle)
+        self._pending_detect = (slot, bundle)
+        return fired
+
+    def flush(self, tracker):
+        """Resolve any pending detection (shutdown / end of sequence)."""
+        return self._resolve_pending(tracker)
+
+    def _resolve_pending(self, tracker):
+        if self._pending_detect is None:
+            return False
+        slot, bundle = self._pending_detect
+        self._pending_detect = None
+        if slot in tracker.kf_free:
+            return False          # culled since enqueue
+        cands = self._candidates_from_bundle(tracker, slot,
+                                             jax.device_get(bundle))
         for cand in cands:
             # every consistent candidate gets a geometric verification,
             # best BoW score first (the reference's ComputeSim3 loops over
@@ -89,6 +121,16 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def _detect_loop(self, tracker, slot: int) -> List[int]:
+        """Synchronous detection (direct callers / tests): enqueue-gate +
+        bundle compute + decision in one call."""
+        if slot - self.last_loop_kf < 10 or tracker.n_kf < 10:
+            return []
+        return self._candidates_from_bundle(
+            tracker, slot,
+            jax.device_get(_detect_bundle_jit(tracker.ms, slot)))
+
+    def _candidates_from_bundle(self, tracker, slot: int,
+                                bundle) -> List[int]:
         """BoW retrieval gated by covisible min-score + consistency groups
         (reference DetectLoop, /root/reference/src/LoopClosing.cc:104-216).
 
@@ -99,13 +141,7 @@ class LoopClosing:
         blocking readbacks over the tunnel (~150 ms/KF, the bench's
         `track.post_frame` wall)."""
         ms = tracker.ms
-        # fewer than 10 KFs in the map, or fewer than 10 since the last
-        # loop (reference: mnId < mLastLoopKFid + 10 with mLastLoopKFid=0
-        # at start, /root/reference/src/LoopClosing.cc:114-118)
-        if slot - self.last_loop_kf < 10 or tracker.n_kf < 10:
-            return []
-        cmat, scores, fid, alive = jax.device_get(
-            _detect_bundle_jit(ms, slot))
+        cmat, scores, fid, alive = bundle
         if not alive[slot]:
             return []
         counts = cmat[slot]

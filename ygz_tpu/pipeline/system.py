@@ -210,7 +210,12 @@ class System:
             self.reset()
 
     def shutdown(self):
-        pass  # no threads to join: the pipeline is synchronous
+        """No threads to join — but the loop closer's deferred detection
+        (one KF in flight, mirroring the reference's async loop thread)
+        must resolve so a loop on the final keyframe is not dropped."""
+        self._notify_loop_closer()
+        if self.loop_closer is not None:
+            self.loop_closer.flush(self.tracker)
 
     def map_changed(self) -> bool:
         return True
