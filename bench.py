@@ -320,6 +320,8 @@ def bench_vio_system(n_frames: int = 150, warm_frames: int = 40):
         img = render_jit(lie.se3_inverse(T_wb))
         frames.append(np.clip(np.asarray(img), 0, 255).astype(np.uint8))
 
+    from ygz_tpu.utils import timing
+    timing.enable(True)
     slam = System(cfg, use_loop_closing=False, pipelined=True,
                   pipeline_depth=8)
     t_meas = None
@@ -331,6 +333,7 @@ def bench_vio_system(n_frames: int = 150, warm_frames: int = 40):
     feed = prefetch_arrays(frames, depth=6)
     for i, img_dev in enumerate(feed):
         if i == warm_frames:
+            timing.reset()
             t_meas = time.perf_counter()
         rows = None
         if i > 0:
@@ -356,6 +359,8 @@ def bench_vio_system(n_frames: int = 150, warm_frames: int = 40):
           f"{fps_out:.1f} FPS (tracked {tracked:.2f}, "
           f"vins_inited={slam.tracker.vins_inited})", file=sys.stderr,
           flush=True)
+    print("[bench] vio stage attribution:\n" + timing.report(min_total=0.05),
+          file=sys.stderr, flush=True)
     return fps_out, tracked
 
 

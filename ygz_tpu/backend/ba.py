@@ -295,7 +295,7 @@ def _ba_cost(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust):
     return jnp.sum(jnp.where(valid, c, 0.0))
 
 
-def _cg_solve(S, g, iters: int = 32):
+def _cg_solve(S, g, iters: int = 48):
     """Jacobi-preconditioned conjugate gradients on the (damped, SPD)
     reduced camera system. TPU has no fast small dense factorization
     (LU/Cholesky at 192x192 cost ~1.5 ms/call); CG is matvec-only and
@@ -321,12 +321,13 @@ def _cg_solve(S, g, iters: int = 32):
 
 
 def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping,
-             kf_major: bool = False):
+             kf_major: bool = False, exact_solve: bool = False):
     S, g, Hpp_inv, bp, Wr = _build_schur_system(
         prob, inlier, fx, fy, cx, cy, bf, robust, damping,
         kf_major=kf_major)
     K = prob.kf_q.shape[0]
-    dxc = _cg_solve(S, g) if kf_major else jnp.linalg.solve(S, g)
+    dxc = _cg_solve(S, g) if (kf_major and not exact_solve) \
+        else jnp.linalg.solve(S, g)
     dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
     # back-substitute points: dxp = Hpp^-1 (bp - W^T dxc)
     Wt_dxc = jnp.einsum("a,amy->my", dxc, Wr)
@@ -345,10 +346,15 @@ def _ba_step(prob: BAProblem, inlier, fx, fy, cx, cy, bf, robust, damping,
 def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
                   robust: bool = True, mu0: float = 1e-4,
                   inlier: Optional[jnp.ndarray] = None,
-                  kf_major: bool = False):
+                  kf_major: bool = False, exact_solve: bool = False):
     """LM bundle adjustment with accept/reject damping. Static iteration
     count; jit-friendly. Returns the updated problem. kf_major: see
-    _build_schur_system."""
+    _build_schur_system. exact_solve: dense solve of the reduced camera
+    system even when kf_major (one-shot BAs where solution quality
+    outranks per-iteration device time — the Jacobi-CG iterate is fine
+    for the per-KF local window but leaves enough residual error on the
+    full-map pre-VI-init global BA to visibly attenuate the [s, g, ba]
+    solve downstream)."""
     fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
     if inlier is None:
         inlier = prob.obs.mask
@@ -356,7 +362,7 @@ def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
     def body(carry):
         p, mu, cost, it, _ = carry
         p_try = _ba_step(p, inlier, fx, fy, cx, cy, bf, robust, mu,
-                         kf_major=kf_major)
+                         kf_major=kf_major, exact_solve=exact_solve)
         cost_try = _ba_cost(p_try, inlier, fx, fy, cx, cy, bf, robust)
         accept = cost_try < cost
         # converged: an ACCEPTED near-GN step (mu small) that barely
@@ -372,7 +378,11 @@ def bundle_adjust(prob: BAProblem, cam, iters: int = 5,
         # relative chi2 decrease the same way only because its damping
         # stays near-GN on accepted sequences.
         rel = (cost - cost_try) / jnp.maximum(cost, 1e-12)
-        stop = accept & (rel < 1e-5) & (mu < 1e-3)
+        # 1e-6, not 1e-5: the pre-VI-init global BA still loses real
+        # accuracy at 1e-5 even behind the mu gate (metric-scale e2e
+        # regressed) — its cost decrease per iteration is tiny relative
+        # to the robustified total while the poses keep moving
+        stop = accept & (rel < 1e-6) & (mu < 1e-3)
         p = jax.tree.map(
             lambda old, new: jnp.where(
                 accept.reshape((1,) * old.ndim), new, old), p, p_try)
@@ -422,6 +432,7 @@ def global_bundle_adjustment(prob: BAProblem, cam, iters: int = 20,
                              kf_major: bool = False):
     """Vision global BA (reference BundleAdjustment,
     /root/reference/src/Optimizer.cc:1478-1654): all KFs free except the
-    first, plain robust LM. Same engine, bigger window."""
+    first, plain robust LM. Same engine, bigger window; one-shot, so the
+    reduced camera system is solved exactly (see bundle_adjust)."""
     return bundle_adjust(prob, cam, iters=iters, robust=True,
-                         kf_major=kf_major)
+                         kf_major=kf_major, exact_solve=True)

@@ -492,3 +492,35 @@ def local_ba_navstate(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
     if use_pts:
         return jax.lax.fori_loop(0, iters, gn, (prob.ns, points.pos))
     return jax.lax.fori_loop(0, iters, gn, prob.ns)
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+def window_cost(prob: ViWindowProblem, gw, Tbc, fx, fy, cx, cy,
+                ns=None, pos_tab=None, obs_pt_id=None):
+    """Total chi2 of a window problem at (ns, pos_tab) — IMU edges with
+    their preintegration information + Huber-weighted vision edges. Used
+    to guard plain-GN polishes (local_ba_navstate has no accept/reject
+    step control; a divergent run must be detectable and revertible —
+    the post-init global polish diverged 6x in map scale on a bad
+    velocity seed before this guard existed)."""
+    ns = prob.ns if ns is None else ns
+    pts = prob.obs_pt if pos_tab is None else pos_tab[obs_pt_id]
+    ns_i = jax.tree.map(lambda a: a[:-1], ns)
+    ns_j = jax.tree.map(lambda a: a[1:], ns)
+    r_imu = jax.vmap(lambda a, b, p: ns_mod.imu_residual_biased(
+        a, b, p, gw, prob.bg_hat, prob.ba_hat))(ns_i, ns_j, prob.pre)
+    info = jax.vmap(_imu_info)(prob.pre)
+    c_imu = jnp.sum(jnp.einsum("sa,sab,sb->s", r_imu, info, r_imu)
+                    * prob.pre_mask)
+
+    ns_o = jax.tree.map(lambda a: a[prob.obs_kf], ns)
+    T_cw = jax.vmap(lambda n: ns_mod.navstate_to_tcw(n, Tbc))(ns_o)
+    pc = lie.quat_rotate(T_cw["q"], pts) + T_cw["t"]
+    z = jnp.maximum(pc[..., 2], 1e-3)
+    rv = jnp.stack([fx * pc[..., 0] / z + cx - prob.obs_uv[..., 0],
+                    fy * pc[..., 1] / z + cy - prob.obs_uv[..., 1]], -1)
+    chi2 = jnp.sum(rv * rv, -1) * prob.obs_inv_sigma2
+    from ygz_tpu.core.robust import huber_rho
+    c_vis = jnp.sum(jnp.where(prob.obs_mask,
+                              huber_rho(chi2, CHI2_2DOF), 0.0))
+    return c_imu + c_vis

@@ -149,9 +149,18 @@ def _triple_terms(p_c, q_wb, pre: PreintState, pbc):
 
 
 def refine_with_gravity_norm(p_c, q_wb, pre: PreintState, triple_mask,
-                             pbc, gw0, gravity: float = 9.810):
+                             pbc, gw0, gravity: float = 9.810,
+                             ba_prior_weight: float = 0.0):
     """Step 3: with |g| fixed, solve [s, dthetaxy, ba] (reference
-    /root/reference/src/LocalMapping.cc:322-401)."""
+    /root/reference/src/LocalMapping.cc:322-401).
+
+    ba_prior_weight > 0 appends a Tikhonov prior ba ~ 0 to the least
+    squares: over short init windows with gentle rotation the accel
+    bias is weakly observable and acts as the error sink for vision
+    pose noise — a 2 deg rotation error otherwise solves to ~0.5 m/s^2
+    of phantom bias plus an attenuated scale (the known VI-ORB
+    weak-observability caveat; the reference mitigates with a 15 s
+    window)."""
     gI = jnp.array([0.0, 0.0, -1.0])
     gwn = gw0 / jnp.maximum(jnp.linalg.norm(gw0), 1e-9)
     v = jnp.cross(gI, gwn)
@@ -170,6 +179,12 @@ def refine_with_gravity_norm(p_c, q_wb, pre: PreintState, triple_mask,
     w = triple_mask.astype(C.dtype)
     Cf = (C * w[:, None, None]).reshape(-1, 6)
     Df = (D * w[:, None]).reshape(-1)
+    if ba_prior_weight > 0.0:
+        prior = jnp.concatenate(
+            [jnp.zeros((3, 3), Cf.dtype),
+             ba_prior_weight * jnp.eye(3, dtype=Cf.dtype)], axis=-1)
+        Cf = jnp.concatenate([Cf, prior], axis=0)
+        Df = jnp.concatenate([Df, jnp.zeros((3,), Df.dtype)])
     x = _lstsq64(Cf, Df)
     s = x[0]
     dtheta = jnp.concatenate([x[1:3], jnp.zeros(1)])
@@ -179,12 +194,14 @@ def refine_with_gravity_norm(p_c, q_wb, pre: PreintState, triple_mask,
 
 
 def try_init_vio(p_c, q_wb, pre: PreintState, kf_mask, pbc,
-                 gravity: float = 9.810) -> ViInitResult:
+                 gravity: float = 9.810,
+                 ba_prior_weight: float = 0.0) -> ViInitResult:
     """Full three-step VI initialization over a padded KF window.
 
     p_c: [K, 3] camera centers (vision scale); q_wb: [K, 4] body-to-world
     rotations (from vision + Tbc); pre: batched [K-1] preintegrations
-    (integrated at zero bias); kf_mask: [K].
+    (integrated at zero bias); kf_mask: [K]. ba_prior_weight: see
+    refine_with_gravity_norm.
     """
     pair_mask = kf_mask[:-1] & kf_mask[1:]
     triple_mask = kf_mask[:-2] & kf_mask[1:-1] & kf_mask[2:]
@@ -200,7 +217,8 @@ def try_init_vio(p_c, q_wb, pre: PreintState, kf_mask, pbc,
 
     s0, gw0 = estimate_scale_gravity(p_c, q_wb, pre_c, triple_mask, pbc)
     s, gw, ba = refine_with_gravity_norm(p_c, q_wb, pre_c, triple_mask,
-                                         pbc, gw0, gravity)
+                                         pbc, gw0, gravity,
+                                         ba_prior_weight=ba_prior_weight)
     ok = (s > 1e-3) & jnp.all(jnp.isfinite(gw)) & \
         (jnp.abs(jnp.linalg.norm(gw) - gravity) < 0.5 * gravity)
     return ViInitResult(bg=bg, ba=ba, scale=s, gw=gw, ok=ok)

@@ -69,7 +69,15 @@ class LocalMapping:
         # prior KF stats: under KF bursts the BA rounds are dropped, just
         # as the reference drops them, keeping per-KF device cost bounded.
         if tracker.pipeline_depth > 1 and len(self.pending) >= 2:
-            do_ba = False
+            # ...except while a VI run is still waiting for its inertial
+            # init: TryInitVIO solves [s, g_w, b] from the KF chain's
+            # vision poses vs preintegration, and un-BA'd bootstrap KFs
+            # carry enough scale drift to throw the solve (observed:
+            # recovered metric scale 1.8). The reference's mapping
+            # thread BAs every KF during this phase too.
+            if not (use_imu and not getattr(tracker, "vins_inited",
+                                            False)):
+                do_ba = False
         # before VI init the preintegration chain is the init's input: the
         # reference starves culling until then (TryInitVIO holds
         # FlagCopyInitKFs, /root/reference/src/LocalMapping.cc:224-228,

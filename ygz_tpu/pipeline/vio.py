@@ -149,7 +149,16 @@ class VioTracker(Tracker):
         """Host-side IMU ledger (pure numpy, no device work). Entries are
         (frame_id, rows): keyframe creation may run FRAMES LATE in
         pipelined mode, and the KF's preintegration gap must stop at the
-        KF frame, not at whatever arrived since."""
+        KF frame, not at whatever arrived since.
+
+        Idempotent per frame: the pre-init pipelined path ingests before
+        delegating to the base tracker, whose synchronous fallback calls
+        VioTracker.track — which ingests too. Double-appending a frame's
+        rows doubles the preintegration gap's samples and silently
+        corrupts the VI init (observed: recovered scale 1.8)."""
+        if getattr(self, "_ingested_fid", None) == fr.frame_id:
+            return
+        self._ingested_fid = fr.frame_id
         if self.first_frame_time is None:
             self.first_frame_time = fr.timestamp
         if fr.imu is not None and len(fr.imu):
@@ -179,7 +188,14 @@ class VioTracker(Tracker):
                 or self.last_ns is None or self.prior_H is None
                 or (rows is not None and len(rows) > FRAME_IMU_PAD)):
             # pre-init / fallback / oversized IMU gap: synchronous path
-            # (imu ledger already ingested — call the base tracker)
+            # (imu ledger already ingested — call the base tracker).
+            # NOTE a pipelined pure-vision pre-init was tried (route
+            # through Tracker.track_pipelined until TryInitVIO): the
+            # throughput is real but the optimistic-pose KF chain it
+            # produces degrades the [s, g_w, b_a] least squares to the
+            # point of solving wrong scales (observed 5.6x off with a
+            # plausible-looking |g|), so the bootstrap keeps the
+            # synchronous cascade's refined poses.
             self.flush_pipeline()
             return Tracker.track(self, fr)
         if not self.direct_cache:
@@ -207,9 +223,14 @@ class VioTracker(Tracker):
         self.ms = dataclasses.replace(
             self.ms, mp_visible=out.mp_visible, mp_found=out.mp_found)
         self._pending.append((fr, out, pre_counters))
+        # async host copy + slack-keeping drain: see the mono
+        # track_pipelined for the rationale (tunnel round-trip hiding)
+        from ygz_tpu.utils.prefetch import host_prefetch
+        host_prefetch(out.bundle)
         self.last_frame = fr
         if len(self._pending) > self.pipeline_depth:
-            self._drain_pipeline(len(self._pending) - 1, next_fr=fr)
+            keep = max(1, self.pipeline_depth // 2)
+            self._drain_pipeline(len(self._pending) - keep, next_fr=fr)
         return fr.T_cw
 
     def _resolve_one(self, pfr, b, pout, ppre, next_fr, tail):
@@ -360,7 +381,11 @@ class VioTracker(Tracker):
             self._try_init_vio()
 
     # ------------------------------------------------------------------
-    VI_INIT_STRIDE_S = 0.5   # min temporal spacing of init-solve nodes
+    VI_INIT_STRIDE_S = 1.0   # min temporal spacing of init-solve nodes:
+    # the [s, g] double-difference signal grows ~dt^2 against constant
+    # per-node vision noise (see _init_chain_nodes), and 1.0 s nodes
+    # measurably de-attenuate the scale solve vs 0.5 s (9% vs 14% low
+    # on the e2e fixture) while still leaving >= 7 nodes in an 8 s window
 
     def _init_chain_nodes(self):
         """Subsample the KF chain for the [s, gw, ba] solve, composing the
@@ -427,8 +452,14 @@ class VioTracker(Tracker):
         q_wb = jnp.stack(q_wb)
         pre = jax.tree.map(lambda *x: jnp.stack(x), *pres)
         pbc = self.Tbc["t"]
+        # ba prior: over a short init window the accel bias is weakly
+        # observable and otherwise soaks up vision pose noise (phantom
+        # |ba| ~ 0.5 m/s^2 from ~2 deg of rotation error, attenuating
+        # the scale ~20%); the post-init window BA re-estimates bias
+        # continuously with real observability, so shrinking it here
+        # costs nothing (see vi_init.refine_with_gravity_norm)
         res = vi_init.try_init_vio(p_c, q_wb, pre, jnp.ones(n, bool), pbc,
-                                   self.cfg.gravity)
+                                   self.cfg.gravity, ba_prior_weight=1.0)
         if not bool(res.ok):
             return
         s = float(res.scale)
@@ -443,6 +474,19 @@ class VioTracker(Tracker):
         for rec in self.trajectory:
             if not rec.get("lost"):
                 rec["T_c_ref"]["t"] = rec["T_c_ref"]["t"] * s
+        # pipelined mode: the init fires at RESOLVE time, while newer
+        # frames are already in flight with optimistic poses (and the
+        # next dispatch chains from last_frame.T_cw) — all still at the
+        # pre-rescale vision scale. Scale them too, or the first
+        # post-init fused step runs a wrong-scale pose against the
+        # metric map and the chain diverges.
+        flights = {id(p[0]): p[0] for p in self._pending}
+        if self.last_frame is not None:
+            flights.setdefault(id(self.last_frame), self.last_frame)
+        for fl in flights.values():
+            if fl.T_cw is not None:
+                fl.T_cw = dict(fl.T_cw, t=fl.T_cw["t"] * s)
+            fl.T_c_ref = None  # recompute against the rescaled ref KF
         self.bg = res.bg
         self.ba = res.ba
         self.gw = res.gw
@@ -609,6 +653,22 @@ class VioTracker(Tracker):
             prob, self.gw, self.Tbc, cam.fx, cam.fy, cam.cx, cam.cy,
             iters=iters, points=pts,
             bias_walk=(self.cfg.gyro_bias_walk, self.cfg.acc_bias_walk))
+        # plain-GN divergence guard: local_ba_navstate has no per-step
+        # accept/reject, and the free-chain post-init polish CAN diverge
+        # from bad velocity seeds (observed: map scale x6, chi2 up). A
+        # polish that did not reduce the joint chi2 is discarded.
+        c0 = vi_ba.window_cost(prob, self.gw, self.Tbc, cam.fx, cam.fy,
+                               cam.cx, cam.cy, pos_tab=pts.pos,
+                               obs_pt_id=pid)
+        c1 = vi_ba.window_cost(prob, self.gw, self.Tbc, cam.fx, cam.fy,
+                               cam.cx, cam.cy, ns=out_ns, pos_tab=out_pos,
+                               obs_pt_id=pid)
+        if not bool(jnp.isfinite(c1)) or float(c1) > float(c0):
+            from ygz_tpu.utils.log import logger
+            logger.warning("navstate BA rejected: chi2 %.3g -> %.3g "
+                           "(n=%d, ring=%s)", float(c0), float(c1),
+                           len(order), use_ring)
+            return
         for i, k in enumerate(order):
             ns_k = jax.tree.map(lambda a: a[i], out_ns)
             self.kf_ns[k] = ns_k
